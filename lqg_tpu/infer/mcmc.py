@@ -1,0 +1,200 @@
+"""MCMC driver: warmup-adapted NUTS over vmapped chains.
+
+Replaces the reference's NumPyro ``MCMC(NUTS(...))`` stack
+(``lqg/infer/utils.py:14-39``) with a native, fully jittable driver:
+
+* the whole run (warmup adaptation + sampling) is ONE compiled program per
+  chain, ``vmap``-ed over chains - chains are a batch axis, not processes
+  (the reference dispatches chains over host devices,
+  ``numpyro.set_host_device_count(4)`` at ``main.py:8``);
+* on a device mesh, chains shard over devices via ``jax.sharding`` (see
+  :mod:`lqg_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, random
+
+from lqg_tpu.infer import adaptation as adapt
+from lqg_tpu.infer.hmc import nuts_step
+from lqg_tpu.infer.models import ProbModel
+
+
+class ChainState(NamedTuple):
+    z: jnp.ndarray
+    pe: jnp.ndarray
+    grad: jnp.ndarray
+    step_size: jnp.ndarray
+    inv_mass: jnp.ndarray
+    da: adapt.DualAveragingState
+    welford: adapt.WelfordState
+    rng_key: jnp.ndarray
+
+
+class MCMC:
+    """Run NUTS on a :class:`ProbModel`.
+
+    Args:
+        model: the probabilistic model (potential + transforms).
+        num_warmup / num_samples: warmup and kept draws per chain.
+        num_chains: chains, run as a vmapped batch axis.
+        max_depth: NUTS maximum tree depth.
+        target_accept: dual-averaging target acceptance probability.
+        thinning: keep every k-th sample.
+    """
+
+    def __init__(self, model: ProbModel, num_warmup: int = 1000,
+                 num_samples: int = 1000, num_chains: int = 1,
+                 max_depth: int = 10, target_accept: float = 0.8,
+                 init_jitter: float = 0.2, thinning: int = 1,
+                 progress: bool = False):
+        self.model = model
+        self.num_warmup = num_warmup
+        self.num_samples = num_samples
+        self.num_chains = num_chains
+        self.max_depth = max_depth
+        self.target_accept = target_accept
+        self.init_jitter = init_jitter
+        self.thinning = thinning
+        self._samples_u = None
+        self._extra = None
+
+    # --- single chain program ---
+    def _single_chain(self, rng_key, z0, in_window, window_end):
+        potential = self.model.potential
+        zdim = z0.shape[0]
+
+        key_init, key_ss, key_run = random.split(rng_key, 3)
+
+        pe0, grad0 = jax.value_and_grad(potential)(z0)
+        inv_mass0 = jnp.ones(zdim)
+        step0 = adapt.find_reasonable_step_size(
+            potential, inv_mass0, z0, pe0, grad0, key_ss)
+
+        state = ChainState(
+            z=z0, pe=pe0, grad=grad0,
+            step_size=step0, inv_mass=inv_mass0,
+            da=adapt.da_init(step0),
+            welford=adapt.welford_init(zdim),
+            rng_key=key_run,
+        )
+
+        # ONE scan over warmup + sampling steps (adaptation gated by flags)
+        # so the large NUTS graph is compiled exactly once.
+        def step_fn(state: ChainState, inp):
+            is_warmup, in_win, win_end, freeze = inp
+            key, sub = random.split(state.rng_key)
+            z, pe, grad, info = nuts_step(
+                potential, sub, state.z, state.pe, state.grad,
+                state.step_size, state.inv_mass, max_depth=self.max_depth)
+
+            # --- adaptation (warmup only) ---
+            da = adapt.da_update(state.da, info.accept_prob,
+                                 target=self.target_accept)
+            da = jax.tree.map(lambda new, old: jnp.where(is_warmup, new, old),
+                              da, state.da)
+            step_size = jnp.where(is_warmup, jnp.exp(da.log_step),
+                                  state.step_size)
+
+            welford = jax.tree.map(
+                lambda old, new: jnp.where(in_win, new, old),
+                state.welford, adapt.welford_update(state.welford, z))
+
+            # close a slow window: adopt the variance as inverse mass,
+            # reset the accumulator and restart dual averaging
+            new_mass = adapt.welford_variance(welford)
+            inv_mass = jnp.where(win_end, new_mass, state.inv_mass)
+            da_reset = adapt.da_init(jnp.exp(da.log_step_avg))
+            da = jax.tree.map(lambda r, c: jnp.where(win_end, r, c),
+                              da_reset, da)
+            welford = jax.tree.map(
+                lambda w, fresh: jnp.where(win_end, fresh, w),
+                welford, adapt.welford_init(zdim))
+            step_size = jnp.where(win_end, jnp.exp(da.log_step), step_size)
+
+            # end of warmup: freeze the dual-averaged step size
+            step_size = jnp.where(freeze, jnp.exp(da.log_step_avg),
+                                  step_size)
+
+            new_state = ChainState(z=z, pe=pe, grad=grad,
+                                   step_size=step_size, inv_mass=inv_mass,
+                                   da=da, welford=welford, rng_key=key)
+            out = (z, info.accept_prob, info.diverging, info.num_steps,
+                   info.tree_depth, pe)
+            return new_state, out
+
+        total = self.num_warmup + self.num_samples * self.thinning
+        is_warmup = jnp.arange(total) < self.num_warmup
+        freeze = jnp.arange(total) == (self.num_warmup - 1)
+        pad = jnp.zeros(total - self.num_warmup, dtype=bool)
+        in_win = jnp.concatenate([in_window, pad])
+        win_end = jnp.concatenate([window_end, pad])
+
+        state, (zs, accept, div, steps, depth, pes) = lax.scan(
+            step_fn, state, (is_warmup, in_win, win_end, freeze))
+
+        sel = slice(self.num_warmup + self.thinning - 1, None, self.thinning)
+        zs, accept, div, steps, depth, pes = (
+            zs[sel], accept[sel], div[sel], steps[sel], depth[sel], pes[sel])
+
+        extra = dict(accept_prob=accept, diverging=div, num_steps=steps,
+                     tree_depth=depth, potential_energy=pes,
+                     step_size=state.step_size, inv_mass=state.inv_mass)
+        return zs, extra
+
+    def run(self, rng_key):
+        """Run all chains; returns self for chaining."""
+        in_window, window_end = adapt.build_schedule(self.num_warmup)
+        in_window = jnp.asarray(in_window)
+        window_end = jnp.asarray(window_end)
+
+        u0 = self.model.init_unconstrained()
+        keys = random.split(rng_key, self.num_chains + 1)
+        jitter = self.init_jitter * random.uniform(
+            keys[0], (self.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
+        z0 = u0[None, :] + jitter
+
+        run_fn = jax.jit(jax.vmap(
+            lambda k, z: self._single_chain(k, z, in_window, window_end)))
+        zs, extra = run_fn(keys[1:], z0)
+
+        self._samples_u = zs  # (chains, draws, zdim)
+        self._extra = extra
+        return self
+
+    # --- results ---
+    def get_samples(self, group_by_chain: bool = False) -> dict:
+        """Constrained-space samples per parameter name."""
+        if self._samples_u is None:
+            raise RuntimeError("call .run(key) first")
+        u = self._samples_u
+        if not group_by_chain:
+            u = u.reshape(-1, u.shape[-1])
+        # go through model.constrain so reparametrized models (NeuTra) map
+        # their sampling space back to parameters correctly
+        constrain = self.model.constrain
+        for _ in range(u.ndim - 1):
+            constrain = jax.vmap(constrain)
+        return constrain(u)
+
+    def get_extra_fields(self) -> dict:
+        return self._extra
+
+    @property
+    def divergences(self):
+        return int(np.asarray(self._extra["diverging"]).sum())
+
+    def summary(self):
+        from lqg_tpu.infer.diagnostics import summary as _summary
+        return _summary(self.get_samples(group_by_chain=True))
+
+    def print_summary(self):
+        df = self.summary()
+        print(df.to_string(float_format=lambda v: f"{v:8.3f}"))
+        print(f"\ndivergences: {self.divergences}")
+        return df

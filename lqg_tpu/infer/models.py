@@ -90,8 +90,16 @@ class ProbModel:
         return lp
 
     def log_joint_unconstrained(self, u: jnp.ndarray) -> jnp.ndarray:
-        """log p(params(u)) + log |J(u)| + log p(x | params(u))."""
+        """log p(params(u)) + log |J(u)| + log p(x | params(u)).
+
+        Without priors this is a pure-likelihood (MLE) objective: no prior
+        term and no Jacobian correction, so the optimum is the MLE of the
+        *constrained* parameters (matching the reference's ``numpyro.param``
+        point-estimation semantics, ``lqg/infer/mle.py:10-23``).
+        """
         params = self.constrain(u)
+        if not self.priors:
+            return self.log_likelihood(params)
         ljac = 0.0
         for i, n in enumerate(self.names):
             ljac = ljac + self.transforms[n].log_abs_det_jacobian(u[i])

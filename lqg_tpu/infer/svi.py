@@ -1,0 +1,109 @@
+"""Stochastic/deterministic variational inference and point estimation.
+
+Native replacement for the reference's NumPyro SVI usage: point estimation
+(MLE/MAP) is gradient ascent on the :class:`ProbModel` objective with an
+optax optimizer inside one ``lax.scan`` (the reference runs NumPyro SVI with
+an empty guide + Adam, ``lqg/infer/mle.py:14-25``), and :class:`AutoMVN` is
+a full-rank Gaussian guide for variational posteriors / NeuTra
+preconditioning (the role of the reference's ``AutoBNAFNormal``,
+``lqg/infer/utils.py:21-31``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax, random
+
+from lqg_tpu.infer.models import ProbModel
+
+
+def optimize(model: ProbModel, steps: int = 2000, step_size: float = 0.01,
+             optimizer=None):
+    """Maximize the model objective; returns (constrained params, losses).
+
+    With priors this is MAP estimation; without, MLE - matching the
+    reference's ``max_likelihood`` semantics.
+    """
+    if optimizer is None:
+        optimizer = optax.adam(step_size)
+
+    u0 = model.init_unconstrained()
+    opt_state = optimizer.init(u0)
+
+    loss_fn = jax.value_and_grad(model.potential)
+
+    def step(carry, _):
+        u, opt_state = carry
+        loss, g = loss_fn(u)
+        updates, opt_state = optimizer.update(g, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        return (u, opt_state), loss
+
+    (u, _), losses = lax.scan(jax.jit(step), (u0, opt_state), None,
+                              length=steps)
+    return model.constrain(u), losses
+
+
+class AutoMVN(NamedTuple):
+    """Full-rank Gaussian guide in unconstrained space:
+    ``u = loc + scale_tril @ eps``."""
+
+    loc: jnp.ndarray
+    scale_tril: jnp.ndarray
+
+    def sample(self, key, sample_shape=()):
+        eps = random.normal(key, tuple(sample_shape) + self.loc.shape)
+        return self.loc + jnp.einsum("ij,...j->...i", self.scale_tril, eps)
+
+    def transform(self, eps):
+        return self.loc + self.scale_tril @ eps
+
+    def log_det(self):
+        return jnp.sum(jnp.log(jnp.abs(jnp.diag(self.scale_tril))))
+
+
+def fit_auto_mvn(model: ProbModel, rng_key, steps: int = 5000,
+                 step_size: float = 0.003, num_particles: int = 8):
+    """Fit a full-rank Gaussian guide by maximizing the ELBO.
+
+    Returns ``(AutoMVN, losses)``.  Used standalone (variational posterior)
+    or as the NeuTra preconditioner.
+    """
+    zdim = model.init_unconstrained().shape[0]
+    loc0 = model.init_unconstrained()
+    log_diag0 = jnp.full((zdim,), -1.0)
+    offdiag0 = jnp.zeros((zdim, zdim))
+
+    optimizer = optax.adam(step_size)
+    params0 = (loc0, log_diag0, offdiag0)
+    opt_state = optimizer.init(params0)
+
+    def guide(params):
+        loc, log_diag, off = params
+        tril = jnp.tril(off, -1) + jnp.diag(jnp.exp(log_diag))
+        return AutoMVN(loc=loc, scale_tril=tril)
+
+    def neg_elbo(params, key):
+        g = guide(params)
+        eps = random.normal(key, (num_particles, zdim))
+        us = jax.vmap(g.transform)(eps)
+        # ELBO = E_q[log p(u)] + H[q];  H = log|det| + const
+        logp = jax.vmap(model.log_joint_unconstrained)(us)
+        return -(jnp.mean(logp) + g.log_det())
+
+    loss_fn = jax.value_and_grad(neg_elbo)
+
+    def step(carry, key):
+        params, opt_state = carry
+        loss, grads = loss_fn(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    keys = random.split(rng_key, steps)
+    (params, _), losses = lax.scan(jax.jit(step), (params0, opt_state), keys)
+    return guide(params), losses

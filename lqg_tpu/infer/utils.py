@@ -1,0 +1,97 @@
+"""Posterior inference entry points.
+
+API parity with reference ``lqg/infer/utils.py``: ``infer`` runs NUTS (or
+NeuTra-reparametrized NUTS) on the lifted model; ``sample_from_prior`` draws
+ground-truth parameters for recovery studies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from lqg_tpu.infer import priors as prior_module
+from lqg_tpu.infer.mcmc import MCMC
+from lqg_tpu.infer.models import ProbModel, lifted_model, get_model_params
+from lqg_tpu.infer.svi import fit_auto_mvn
+
+
+def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
+          process_noise=1.0, dt=1.0 / 60, method="nuts", progress_bar=True,
+          num_chains=1, seed=0, max_depth=10, neutra_steps=5000,
+          **fixed) -> MCMC:
+    """Sample the posterior over model parameters given trajectories ``x``.
+
+    Args:
+        x: data ``(n, T+1, d)``.
+        num_samples / num_warmup: draws per chain.
+        model: model class (defaults to ``BoundedActor``).
+        model_fn: builder returning a :class:`ProbModel` (default: the
+            prior-lifted single-condition model).
+        method: ``"nuts"`` or ``"neutra"`` (NUTS on a variationally
+            preconditioned space; the reference uses a BNAF flow,
+            ``lqg/infer/utils.py:21-31`` - here the flow is a fitted
+            full-rank Gaussian).
+        num_chains: chains, vmapped on-device.
+
+    Returns:
+        a run :class:`MCMC` object (``get_samples``, ``summary``...).
+    """
+    if model is None:
+        from lqg_tpu.models import BoundedActor as model
+
+    prob_model = model_fn(x, model, process_noise=process_noise, dt=dt,
+                          **fixed)
+
+    if method == "neutra":
+        guide, _ = fit_auto_mvn(prob_model, random.PRNGKey(seed),
+                                steps=neutra_steps)
+        prob_model = neutra_reparam(prob_model, guide)
+    elif method != "nuts":
+        raise ValueError(
+            "Please specify a valid inference method (nuts, neutra).")
+
+    mcmc = MCMC(prob_model, num_warmup=num_warmup, num_samples=num_samples,
+                num_chains=num_chains, max_depth=max_depth,
+                progress=progress_bar)
+    mcmc.run(random.PRNGKey(seed))
+    return mcmc
+
+
+def neutra_reparam(model: ProbModel, guide) -> ProbModel:
+    """Precondition a model through a fitted guide transform.
+
+    NUTS runs in the guide's standardized space ``eps``; positions map back
+    through ``u = loc + scale_tril eps`` (affine flow), with the constant
+    log-det absorbed (it does not affect sampling).
+    """
+    names = model.names
+
+    reparam = ProbModel(init=dict(model.init),
+                        transforms=dict(model.transforms),
+                        log_likelihood=model.log_likelihood,
+                        priors=model.priors)
+
+    base_log_joint = model.log_joint_unconstrained
+
+    def log_joint_eps(eps):
+        u = guide.transform(eps)
+        return base_log_joint(u)
+
+    # override the unconstrained-space plumbing
+    reparam.log_joint_unconstrained = log_joint_eps
+    reparam.init_unconstrained = lambda: jnp.zeros(len(names))
+    reparam.constrain = lambda eps: model.constrain(guide.transform(eps))
+    return reparam
+
+
+def sample_from_prior(model_type, seed,
+                      prior_dict=None) -> dict:
+    """Draw ground-truth parameters for a recovery study
+    (reference ``utils.py:42-46``)."""
+    if prior_dict is None:
+        prior_dict = prior_module.DEFAULT_PRIOR
+    params = prior_module.sample_params(random.PRNGKey(seed), prior_dict)
+    model_params = get_model_params(model_type).keys()
+    return {k: v for k, v in params.items() if k in model_params}

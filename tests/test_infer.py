@@ -1,0 +1,186 @@
+"""Inference engine tests: NUTS statistical validity, MLE recovery,
+model-introspection parity (reference tests/infer_test.py + SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import random
+import pytest
+
+from lqg_tpu.models import BoundedActor, SubjectiveActor
+from lqg_tpu.infer import transforms as tfm
+from lqg_tpu.infer.dists import Normal, HalfNormal, LogNormal
+from lqg_tpu.infer.models import (ProbModel, get_model_params, lqg_model,
+                                  lifted_model, shared_params_lqg_model)
+from lqg_tpu.infer.mcmc import MCMC
+from lqg_tpu.infer.mle import max_likelihood
+from lqg_tpu.infer.utils import infer, sample_from_prior
+from lqg_tpu.infer.diagnostics import split_rhat, ess, summary
+
+
+def test_get_model_params_parity():
+    """Free-parameter discovery matches the reference exclusion rules
+    (lqg/infer/models.py:9-17)."""
+    params = get_model_params(BoundedActor)
+    assert set(params) == {"action_variability", "sigma_target",
+                           "sigma_cursor", "action_cost"}
+    params = get_model_params(SubjectiveActor)
+    assert set(params) == {"action_cost", "action_variability", "subj_noise",
+                           "subj_vel_noise", "sigma_target", "sigma_cursor"}
+
+
+def test_distributions_log_prob():
+    """Native distributions match scipy."""
+    from scipy import stats
+
+    x = np.array([0.3, 1.0, 2.5])
+    np.testing.assert_allclose(
+        np.asarray(Normal(1.0, 2.0).log_prob(jnp.asarray(x))),
+        stats.norm.logpdf(x, 1.0, 2.0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(HalfNormal(2.0).log_prob(jnp.asarray(x))),
+        stats.halfnorm.logpdf(x, scale=2.0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(LogNormal(0.5, 1.5).log_prob(jnp.asarray(x))),
+        stats.lognorm.logpdf(x, 1.5, scale=np.exp(0.5)), rtol=1e-5)
+
+
+def test_transforms_roundtrip():
+    for t in (tfm.Exp(), tfm.Softplus(), tfm.Sigmoid(2.0, 5.0)):
+        u = jnp.linspace(-3, 3, 7)
+        np.testing.assert_allclose(np.asarray(t.inverse(t.forward(u))),
+                                   np.asarray(u), rtol=1e-5, atol=1e-5)
+        # jacobian matches autodiff
+        g = jax.vmap(jax.grad(lambda v: t.forward(v)))(u)
+        np.testing.assert_allclose(np.asarray(t.log_abs_det_jacobian(u)),
+                                   np.log(np.abs(np.asarray(g))), rtol=1e-5)
+
+
+def _gaussian_model():
+    mu = jnp.array([1.0, -2.0])
+    cov = jnp.array([[2.0, 1.2], [1.2, 1.5]])
+    P = jnp.linalg.inv(cov)
+
+    def ll(p):
+        z = jnp.stack([p["a"], p["b"]]) - mu
+        return -0.5 * z @ P @ z
+
+    return ProbModel(init={"a": jnp.asarray(0.0), "b": jnp.asarray(0.0)},
+                     transforms={"a": tfm.identity, "b": tfm.identity},
+                     log_likelihood=ll, priors={}), mu, cov
+
+
+def test_nuts_gaussian_moments():
+    """NUTS samples the correct distribution (the core sampler oracle)."""
+    model, mu, cov = _gaussian_model()
+    m = MCMC(model, num_warmup=500, num_samples=1500,
+             num_chains=4).run(random.PRNGKey(0))
+    s = m.get_samples()
+    a, b = np.asarray(s["a"]), np.asarray(s["b"])
+    assert m.divergences == 0
+    np.testing.assert_allclose(a.mean(), 1.0, atol=0.15)
+    np.testing.assert_allclose(b.mean(), -2.0, atol=0.15)
+    np.testing.assert_allclose(a.var(), 2.0, rtol=0.15)
+    np.testing.assert_allclose(b.var(), 1.5, rtol=0.15)
+    np.testing.assert_allclose(np.cov(a, b)[0, 1], 1.2, rtol=0.25)
+
+    df = m.summary()
+    assert (df["r_hat"] < 1.05).all()
+    assert (df["n_eff"] > 200).all()
+
+
+def test_nuts_constrained_target():
+    """Positive-constrained sampling: posterior == prior when the likelihood
+    is flat, so samples should match the LogNormal prior."""
+    prior = LogNormal(0.3, 0.7)
+    model = ProbModel(init={"s": jnp.asarray(1.0)},
+                      transforms={"s": tfm.positive},
+                      log_likelihood=lambda p: jnp.zeros(()),
+                      priors={"s": prior})
+    m = MCMC(model, num_warmup=500, num_samples=2000,
+             num_chains=2).run(random.PRNGKey(1))
+    s = np.asarray(m.get_samples()["s"])
+    assert (s > 0).all()
+    np.testing.assert_allclose(np.log(s).mean(), 0.3, atol=0.1)
+    np.testing.assert_allclose(np.log(s).std(), 0.7, rtol=0.15)
+
+
+def test_mle_recovery():
+    """Reference mle.py __main__ recovery demo, as a test."""
+    true = dict(action_cost=0.5, action_variability=0.25, sigma_target=8.0,
+                sigma_cursor=2.0)
+    x = BoundedActor(process_noise=1.0, T=500, **true).simulate(
+        random.PRNGKey(0), n=20)
+    params, losses = max_likelihood(x, steps=800, step_size=0.02)
+    assert losses[-1] < losses[0]
+    np.testing.assert_allclose(float(params["action_variability"]), 0.25,
+                               rtol=0.2)
+    np.testing.assert_allclose(float(params["sigma_target"]), 8.0, rtol=0.2)
+    np.testing.assert_allclose(float(params["action_cost"]), 0.5, rtol=0.5)
+
+
+def test_infer_end_to_end():
+    """Reference test_numpyro_distribution NUTS smoke
+    (tests/infer_test.py:47-51)."""
+    x = BoundedActor(T=200).simulate(random.PRNGKey(0), n=5)
+    mcmc = infer(x, num_samples=10, num_warmup=10, model=BoundedActor,
+                 max_depth=6, seed=0)
+    s = mcmc.get_samples()
+    assert set(s) == {"action_variability", "sigma_target", "sigma_cursor",
+                      "action_cost"}
+    for v in s.values():
+        assert np.isfinite(np.asarray(v)).all()
+        assert (np.asarray(v) > 0).all()
+
+
+def test_neutra_smoke():
+    """NeuTra-preconditioned NUTS runs and yields positive finite samples."""
+    x = BoundedActor(T=100).simulate(random.PRNGKey(0), n=3)
+    mcmc = infer(x, num_samples=10, num_warmup=10, model=BoundedActor,
+                 method="neutra", neutra_steps=300, max_depth=5, seed=0)
+    for v in mcmc.get_samples().values():
+        assert np.isfinite(np.asarray(v)).all()
+        assert (np.asarray(v) > 0).all()
+
+
+def test_sample_from_prior():
+    params = sample_from_prior(BoundedActor, seed=42)
+    assert set(params) == set(get_model_params(BoundedActor))
+    for v in params.values():
+        assert float(v) > 0
+
+
+def test_shared_params_model_potential():
+    """Hierarchical model: finite potential + gradient over a batched
+    multi-condition likelihood graph."""
+    x1 = BoundedActor(T=100, sigma_target=5.0).simulate(random.PRNGKey(0), n=4)
+    x2 = BoundedActor(T=100, sigma_target=15.0).simulate(random.PRNGKey(1), n=4)
+    x = jnp.stack([x1, x2])  # (2 conditions, 4 trials, 101, 2)
+
+    model = shared_params_lqg_model(
+        x, BoundedActor,
+        shared_params=["action_cost", "action_variability", "sigma_cursor"])
+
+    # 3 shared + 2 per-condition sigma_target sites
+    assert set(model.names) == {"action_cost", "action_variability",
+                                "sigma_cursor", "sigma_target_0",
+                                "sigma_target_1"}
+
+    u0 = model.init_unconstrained()
+    pe, grad = jax.value_and_grad(model.potential)(u0)
+    assert np.isfinite(float(pe))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_diagnostics_sane():
+    rng = np.random.default_rng(0)
+    iid = rng.standard_normal((4, 1000))
+    assert abs(split_rhat(iid) - 1.0) < 0.01
+    assert ess(iid) > 2000
+
+    # strongly autocorrelated chain -> small ESS
+    ar = np.cumsum(rng.standard_normal((2, 1000)), axis=1)
+    assert ess(ar) < 200
+
+    df = summary({"x": iid})
+    assert {"mean", "sd", "n_eff", "r_hat"} <= set(df.columns)
