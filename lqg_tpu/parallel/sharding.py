@@ -1,0 +1,81 @@
+"""Sharded inference: trial-parallel likelihood and device-parallel chains.
+
+Greenfield components (the reference has no distributed backend; SURVEY.md
+section 2.6): the likelihood's trial batch is data-parallel with a ``psum``
+log-likelihood reduction over the mesh, and MCMC chains shard over a mesh
+axis so every device runs an independent NUTS chain in SPMD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lqg_tpu.parallel.mesh import shard_batch
+
+
+def sharded_log_likelihood(model_builder: Callable, x, mesh: Mesh,
+                           axis: str = "dp"):
+    """Build a sharded total-log-likelihood function over trials.
+
+    Args:
+        model_builder: params dict -> ``System`` (pure, traceable).
+        x: trials ``(n, T+1, d)``; ``n`` must divide by the mesh axis size.
+        mesh: device mesh with axis ``axis``.
+
+    Returns:
+        ``f(params) -> scalar`` - jitted, with trials sharded over ``axis``
+        and the per-shard sums reduced with ``psum`` over ICI.
+    """
+    x_sharded = shard_batch(jnp.asarray(x), mesh, axis)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(axis)), out_specs=P())
+    def _ll(params, x_shard):
+        system = model_builder(params)
+        ll = jnp.sum(system.log_likelihood(x_shard))
+        return jax.lax.psum(ll, axis)
+
+    @jax.jit
+    def total_ll(params):
+        return _ll(params, x_sharded)
+
+    return total_ll
+
+
+def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains"):
+    """Run an :class:`lqg_tpu.infer.mcmc.MCMC` with chains sharded over a
+    mesh axis.
+
+    Chains are a vmapped batch axis; placing the per-chain keys and initial
+    positions with a chain-sharded layout makes XLA partition the whole
+    warmup+sampling program SPMD across devices.
+    """
+    from jax import random
+    from lqg_tpu.infer import adaptation as adapt
+
+    in_window, window_end = adapt.build_schedule(mcmc.num_warmup)
+    in_window = jnp.asarray(in_window)
+    window_end = jnp.asarray(window_end)
+
+    u0 = mcmc.model.init_unconstrained()
+    keys = random.split(rng_key, mcmc.num_chains + 1)
+    jitter = mcmc.init_jitter * random.uniform(
+        keys[0], (mcmc.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
+    z0 = u0[None, :] + jitter
+
+    chain_sharding = NamedSharding(mesh, P(axis))
+    chain_keys = jax.device_put(keys[1:], chain_sharding)
+    z0 = jax.device_put(z0, chain_sharding)
+
+    run_fn = jax.jit(jax.vmap(
+        lambda k, z: mcmc._single_chain(k, z, in_window, window_end)))
+    zs, extra = run_fn(chain_keys, z0)
+
+    mcmc._samples_u = zs
+    mcmc._extra = extra
+    return mcmc
