@@ -158,6 +158,20 @@ def lifted_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
                      priors=DEFAULT_PRIOR, **fixed_params)
 
 
+def common_lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
+                     priors=None, **fixed_params) -> ProbModel:
+    """Multi-condition model with shared parameters and per-condition target
+    noise ``sigma_target_{n}`` (reference ``models.py:37-61``).
+
+    Expressed as the special case of :func:`shared_params_lqg_model` where
+    every free parameter except ``sigma_target`` is shared.
+    """
+    shared = [n for n in get_model_params(model_type) if n != "sigma_target"]
+    return shared_params_lqg_model(
+        x, model_type, process_noise=process_noise, dt=dt, priors=priors,
+        shared_params=shared, **fixed_params)
+
+
 def shared_params_lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
                             priors=None, shared_params=None, dim=1,
                             **fixed_params) -> ProbModel:

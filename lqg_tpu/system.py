@@ -238,6 +238,35 @@ class System:
     # object is duck-compatible (log_prob / sample / event_shape).
     to_numpyro = to_distribution
 
+    def _repr_latex_(self) -> str:
+        """Render the system matrices as LaTeX in notebooks
+        (capability parity with reference ``system.py:262-328``)."""
+        import numpy as np
+
+        def first(x):
+            x = np.asarray(x)
+            return x if x.ndim == 2 else x[0] if x.ndim == 3 else x[(0,) * (x.ndim - 2)]
+
+        def bmatrix(arr) -> str:
+            arr = np.atleast_2d(np.asarray(arr))
+            rows = [" & ".join(f"{v:.4g}" for v in row) for row in arr]
+            return "\\begin{bmatrix}" + "\\\\".join(rows) + "\\end{bmatrix}"
+
+        names = ["A", "B", "F", "V", "W", "Q", "R"]
+        dyn = [self.dynamics.A, self.dynamics.B, self.dynamics.F,
+               self.dynamics.V, self.dynamics.W]
+        act = [self.actor.A, self.actor.B, self.actor.F, self.actor.V,
+               self.actor.W, self.actor.Q, self.actor.R]
+
+        out = "\\begin{align*} \\text{Dynamics:}"
+        for mat, name in zip(dyn, names):
+            out += f" &&{name} = {bmatrix(first(mat))}"
+        out += "\\\\\\text{Actor:}"
+        for mat, name in zip(act, names):
+            out += f" &&{name} = {bmatrix(first(mat))}"
+        out += "\\end{align*}"
+        return out
+
 
 def Dynamics(A, B, F, V, W, T=1000) -> LQGSpec:
     """Reference-compatible stacked dynamics spec (``system.py:331-344``)."""

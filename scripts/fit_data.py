@@ -1,0 +1,82 @@
+"""Real-data fit CLI: continuous psychophysics (Bonnen et al. 2015 data).
+
+Workflow parity with reference ``cpp_data_fit.py``: load the tracking
+dataset, run NUTS on the hierarchical shared-parameters model across the 6
+blob-width conditions, and persist the posterior as netcdf.
+
+Example:
+    python scripts/fit_data.py --model BoundedActor --nsamp 500 \
+        --nburnin 300 --nchain 2
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser(description="Continuous Psychophysics")
+    parser.add_argument("--delay", type=int, default=12,
+                        help="Temporal shift between target and response")
+    parser.add_argument("--clip", type=int, default=180,
+                        help="Clip the initial n time steps of the data")
+    parser.add_argument("--nsamp", type=int, default=5_000,
+                        help="Number of samples drawn by NUTS")
+    parser.add_argument("--nburnin", type=int, default=1_500,
+                        help="Number of burn-in samples.")
+    parser.add_argument("--nchain", type=int, default=4)
+    parser.add_argument("--model", type=str, default="BoundedActor",
+                        help="Model type")
+    parser.add_argument("--seed", type=int, default=1,
+                        help="Random seed (for NUTS)")
+    parser.add_argument("--data", type=str, default=None,
+                        help="Directory containing data.mat")
+    parser.add_argument("--out", type=str, default="data/processed",
+                        help="Output directory for the netcdf posterior")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX platform (cpu/tpu)")
+    parser.add_argument(
+        "--shared_params", type=str, nargs="*",
+        default=["action_variability", "action_cost", "sigma_cursor",
+                 "subj_noise", "subj_vel_noise"],
+        help="Parameters shared across conditions")
+    return parser.parse_args(args=args)
+
+
+if __name__ == "__main__":
+    args = parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from jax import random
+
+    from lqg_tpu import tracking
+    from lqg_tpu.io import load_tracking_data
+    from lqg_tpu.infer.mcmc import MCMC
+    from lqg_tpu.infer.models import (get_model_params,
+                                      shared_params_lqg_model)
+    from lqg_tpu.results import save_netcdf
+
+    Model = getattr(tracking, args.model)
+    model_params = get_model_params(Model).keys()
+    shared = [p for p in args.shared_params if p in list(model_params)]
+
+    data, bws = load_tracking_data(delay=args.delay, clip=args.clip,
+                                   subtract_mean=False, data_path=args.data)
+    print("data:", data.shape, "blob widths:", bws)
+
+    prob_model = shared_params_lqg_model(data, Model, shared_params=shared)
+    mcmc = MCMC(prob_model, num_warmup=args.nburnin,
+                num_samples=args.nsamp, num_chains=args.nchain)
+    mcmc.run(random.PRNGKey(args.seed))
+    mcmc.print_summary()
+
+    out_path = os.path.join(args.out, f"{args.model}-{args.seed}.nc")
+    save_netcdf(out_path, mcmc.get_samples(group_by_chain=True),
+                attrs=dict(model=args.model, seed=args.seed,
+                           shared_params=",".join(shared)))
+    print(f"saved {out_path}")
