@@ -6,25 +6,37 @@ model at horizon T=1000 - the gains computation at the heart of every
 simulate/likelihood call (reference ``lqg/control/lqr.py`` +
 ``lqg/belief/kf.py``).
 
-Thousands of parameter particles are batched per chip: the scans run once
-over T with all particles riding the batch dimensions of each einsum.
-
-Prints ONE JSON line; ``vs_baseline`` is measured against the 1e4 solves/s
-target in BASELINE.json.
+Measurement methodology: the solve runs on the fused Pallas kernel
+(``lqg_tpu.ops.pallas.gains`` - the whole recursion VMEM-resident, particles
+on vector lanes), repeated REPS times *inside one jitted scan* with the
+carry perturbing the inputs (defeats loop-invariant hoisting), so host
+dispatch and transfer latency are excluded and every repetition genuinely
+executes.  Prints ONE JSON line; ``vs_baseline`` is against the 1e4
+solves/s target in BASELINE.json.
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: kernel compiles on this stack go through a
+# slow remote relay (minutes); cache them across processes
+os.makedirs("/root/.cache/jax_lqg", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_lqg")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
+from jax import lax
 
 from lqg_tpu.models.basic import tracking_spec
-from lqg_tpu.ops import riccati, kalman
+from lqg_tpu.ops.pallas.gains import fused_gains
 from lqg_tpu.ops.linalg import mT
 
 T = 1000
-BATCH = 4096
+BATCH = 16384
+REPS = 20
 TARGET = 1.0e4
 
 
@@ -44,28 +56,32 @@ def build_batched_spec(batch):
 
 
 @jax.jit
-def solve(spec):
-    gains = riccati.backward(spec, horizon=T, regularize="none")
-    Sigma0 = spec.V @ mT(spec.V)
-    K = kalman.forward(spec, Sigma0=Sigma0, horizon=T)
-    # consume the full gain schedules (the actual solve deliverable)
-    return (jnp.sum(gains.L), jnp.sum(gains.H), jnp.sum(K))
+def solve_many(spec, Sigma0):
+    """REPS full solves; each iteration's input depends on the carry so no
+    repetition can be optimized away."""
+
+    def body(carry, _):
+        s = spec._replace(R=spec.R + carry * 1e-20)
+        L, H, K = fused_gains(s, Sigma0, horizon=T)
+        return jnp.sum(L[-1]) + jnp.sum(H[-1]) + jnp.sum(K[-1]), None
+
+    acc, _ = lax.scan(body, jnp.float32(0.0), None, length=REPS)
+    return acc
 
 
 def main():
     spec = build_batched_spec(BATCH)
     spec = jax.tree.map(lambda a: a.astype(jnp.float32), spec)
+    Sigma0 = spec.V @ mT(spec.V)
 
-    # warmup/compile
-    out = solve(spec)
-    jax.block_until_ready(out)
+    # compile + warm
+    float(solve_many(spec, Sigma0))
 
-    reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = solve(spec)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    n_outer = 3
+    for _ in range(n_outer):
+        acc = float(solve_many(spec, Sigma0))
+    dt = (time.perf_counter() - t0) / (n_outer * REPS)
 
     solves_per_s = BATCH / dt
     print(json.dumps({

@@ -18,6 +18,7 @@ from lqg_tpu.models.delay import (
 )
 from lqg_tpu.models.point_mass import PointMassBoundedActor
 from lqg_tpu.models.hand import HandMotionModelTrackingTask
+from lqg_tpu.models.signal_dep import SignalDependentNoiseActor
 
 __all__ = [
     "TrackingTask",
@@ -30,4 +31,5 @@ __all__ = [
     "delay_system",
     "PointMassBoundedActor",
     "HandMotionModelTrackingTask",
+    "SignalDependentNoiseActor",
 ]

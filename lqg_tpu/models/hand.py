@@ -30,8 +30,12 @@ class HandMotionModelTrackingTask(System):
         A = jnp.zeros((5, 5)).at[0, 0].set(1.0).at[1:, 1:].set(A_cursor)
         B = (dt / tau) * jnp.array([[0.0], [0.0], [0.0], [0.0], [1.0]])
         F = jnp.eye(2, 5)
+        # the 1e-2 hand-position noise floor keeps the observed-block
+        # covariance nonsingular (hand position is otherwise deterministic
+        # given velocity, which makes the marginalized likelihood degenerate
+        # at t=0); small enough to leave behavior unchanged
         V = jnp.diag(jnp.stack([jnp.asarray(process_noise, f),
-                                jnp.zeros((), f), jnp.zeros((), f),
+                                jnp.full((), 1e-2, f), jnp.zeros((), f),
                                 jnp.zeros((), f),
                                 jnp.asarray(action_variability, f)]))
         W = jnp.diag(jnp.stack([jnp.asarray(sigma_target, f),

@@ -165,7 +165,8 @@ def conditional_kernel(joint: JointSystem, obs_dim: int,
         Sigma_new = symmetrize(FS @ mT(F) + G @ mT(G) - J @ mT(FS[..., :, :d]))
         return Sigma_new, (M, J, chol)
 
-    SigmaT, (M, J, chol) = lax.scan(step, Sigma0, (Fj, Gj))
+    with jax.default_matmul_precision("highest"):
+        SigmaT, (M, J, chol) = lax.scan(step, Sigma0, (Fj, Gj))
 
     ST = SigmaT[..., :d, :d]
     if eye_d is not None:
@@ -216,7 +217,8 @@ def trial_log_likelihood(kernel: ConditionalKernel, x: jnp.ndarray) -> jnp.ndarr
         MU_new = M_t @ MU + J_t @ X_t
         return MU_new, MU_new[:d]
 
-    _, preds = lax.scan(step, MU0, (M, J, X[:-1]))  # (T, d, n)
+    with jax.default_matmul_precision("highest"):
+        _, preds = lax.scan(step, MU0, (M, J, X[:-1]))  # (T, d, n)
 
     e = X[1:] - preds
     w = jax.lax.linalg.triangular_solve(
@@ -251,7 +253,8 @@ def conditional_sigma(joint: JointSystem, obs_dim: int,
         Sigma_new = symmetrize(FS @ mT(F) + G @ mT(G) - Jt @ mT(FS[..., :, :d]))
         return Sigma_new, Sigma_new
 
-    _, Sigma = lax.scan(step, Sigma0, (Fj, Gj))
+    with jax.default_matmul_precision("highest"):
+        _, Sigma = lax.scan(step, Sigma0, (Fj, Gj))
     return Sigma
 
 
@@ -271,5 +274,6 @@ def conditional_mean(kernel: ConditionalKernel, x: jnp.ndarray) -> jnp.ndarray:
         MU_new = M_t @ MU + J_t @ X_t
         return MU_new, MU_new
 
-    _, mus = lax.scan(step, MU0, (M, J, X[:-1]))  # (T, j, n)
+    with jax.default_matmul_precision("highest"):
+        _, mus = lax.scan(step, MU0, (M, J, X[:-1]))  # (T, j, n)
     return jnp.moveaxis(mus, -1, 0)  # (n, T, j)

@@ -61,19 +61,26 @@ def forward(
     reference's ``(I - K F) P`` but with one fewer ``n x n`` matmul and
     guaranteed symmetry.
     """
+    import jax
+
     step = partial(_step, jitter=jitter)
     # stationary specs carry no time axis: A has the same rank as Qf
     stationary = spec.A.ndim == spec.Qf.ndim
 
-    if stationary:
-        if horizon is None:
-            raise ValueError("stationary spec requires explicit horizon")
-        consts = (spec.A, spec.F, spec.V, spec.W)
-        _, K = lax.scan(lambda c, _: step(c, consts), Sigma0, None, length=horizon)
-    else:
-        xs = tuple(
-            jnp.moveaxis(x, -3, 0) for x in (spec.A, spec.F, spec.V, spec.W)
-        )
-        _, K = lax.scan(step, Sigma0, xs)
+    # full-f32 matmuls: TPU default matmul precision compounds over long
+    # covariance recursions (see lqg_tpu.ops.riccati)
+    with jax.default_matmul_precision("highest"):
+        if stationary:
+            if horizon is None:
+                raise ValueError("stationary spec requires explicit horizon")
+            consts = (spec.A, spec.F, spec.V, spec.W)
+            _, K = lax.scan(lambda c, _: step(c, consts), Sigma0, None,
+                            length=horizon)
+        else:
+            xs = tuple(
+                jnp.moveaxis(x, -3, 0)
+                for x in (spec.A, spec.F, spec.V, spec.W)
+            )
+            _, K = lax.scan(step, Sigma0, xs)
 
     return K

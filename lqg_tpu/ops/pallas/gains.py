@@ -1,0 +1,322 @@
+"""Fused Pallas TPU kernels: Riccati backward + Kalman forward gains.
+
+The hot solve of the framework (SURVEY.md section 6: the solves/s
+north-star) is thousands of *tiny* (n <= 8) LQG problems batched per chip.
+The XLA path scans over T with batched einsums - every step round-trips the
+carry and the per-step outputs through HBM and pays per-step launch
+overhead.  These kernels keep the recursion resident on-chip:
+
+* **Layout**: parameter particles fill a full VPU tile - 8 sublanes x 128
+  lanes = 1024 particles per block; the n x n matrix elements are unrolled
+  as separate tiles.  Every matrix product is a handful of elementwise FMAs
+  on (8, 128) tiles, at full vector-unit utilization.
+* **Time-chunked grid**: the horizon is processed in chunks with the
+  Riccati/covariance carry living in VMEM scratch across grid steps, so
+  VMEM holds only one chunk of the output schedule at a time.
+* **Closed-form small inverses**: control dims m <= 2 and observation dims
+  p <= 3 use explicit symmetric inverses (no Cholesky/LAPACK inside the
+  kernel).
+
+Scope: stationary (time-invariant) specs with zero affine cost terms -
+exactly the shape of every model in the zoo.  The general/stacked path
+falls back to :mod:`lqg_tpu.ops.riccati` / :mod:`lqg_tpu.ops.kalman`.
+Forward-only (no custom VJP yet); gradient paths use the XLA kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lqg_tpu.spec import LQGSpec
+
+SUB = 8     # sublanes per block
+LANE = 128  # lanes per block
+BLOCK = SUB * LANE  # particles per grid block
+
+# --- tiny-matrix algebra on lists of (SUB, LANE)-tile elements ---
+
+
+def _mat(rows: Sequence, n: int, m: int):
+    assert len(rows) == n * m, (len(rows), n, m)
+    return (list(rows), n, m)
+
+
+def _idx(M, i, j):
+    rows, n, m = M
+    return rows[i * m + j]
+
+
+def _matmul(A, B):
+    ra, n, k = A
+    rb, k2, m = B
+    assert k == k2
+    out = []
+    for i in range(n):
+        for j in range(m):
+            acc = _idx(A, i, 0) * _idx(B, 0, j)
+            for t in range(1, k):
+                acc = acc + _idx(A, i, t) * _idx(B, t, j)
+            out.append(acc)
+    return _mat(out, n, m)
+
+
+def _transpose(A):
+    rows, n, m = A
+    return _mat([rows[i * m + j] for j in range(m) for i in range(n)], m, n)
+
+
+def _add(A, B):
+    ra, n, m = A
+    rb, n2, m2 = B
+    assert (n, m) == (n2, m2)
+    return _mat([a + b for a, b in zip(ra, rb)], n, m)
+
+
+def _sub(A, B):
+    ra, n, m = A
+    rb, _, _ = B
+    return _mat([a - b for a, b in zip(ra, rb)], n, m)
+
+
+def _neg(A):
+    rows, n, m = A
+    return _mat([-a for a in rows], n, m)
+
+
+def _sym_inv(A, eps):
+    """Closed-form inverse of a symmetric PD matrix, n <= 3."""
+    rows, n, m = A
+    assert n == m <= 3
+    if n == 1:
+        return _mat([pl.reciprocal(rows[0] + eps, approx=False)], 1, 1)
+    if n == 2:
+        a, b, _, d = rows
+        det = a * d - b * b
+        inv = pl.reciprocal(det + eps, approx=False)
+        return _mat([d * inv, -b * inv, -b * inv, a * inv], 2, 2)
+    a, b, c, _, e, f, _, _, i = rows  # symmetric: use upper triangle
+    A11 = e * i - f * f
+    A12 = c * f - b * i
+    A13 = b * f - c * e
+    det = a * A11 + b * A12 + c * A13
+    inv = pl.reciprocal(det + eps, approx=False)
+    A22 = a * i - c * c
+    A23 = b * c - a * f
+    A33 = a * e - b * b
+    return _mat([A11 * inv, A12 * inv, A13 * inv,
+                 A12 * inv, A22 * inv, A23 * inv,
+                 A13 * inv, A23 * inv, A33 * inv], 3, 3)
+
+
+def _read(ref, n: int, m: int):
+    return _mat([ref[i] for i in range(n * m)], n, m)
+
+
+def _read_scratch(ref, n: int, m: int):
+    return _mat([ref[i] for i in range(n * m)], n, m)
+
+
+def _write_scratch(ref, M):
+    rows, n, m = M
+    for i in range(n * m):
+        ref[i] = rows[i]
+
+
+def _write_t(ref, t, M):
+    rows, n, m = M
+    for i in range(n * m):
+        ref[t, i] = rows[i]
+
+
+# --- kernels ---
+
+
+def _riccati_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, L_ref, H_ref, S_scr,
+                    *, n, m, T, tc, eps):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    A = _read(A_ref, n, n)
+    Bm = _read(B_ref, n, m)
+    Q = _read(Q_ref, n, n)
+    R = _read(R_ref, m, m)
+    At = _transpose(A)
+    Bt = _transpose(Bm)
+
+    @pl.when(c == 0)
+    def _():
+        _write_scratch(S_scr, _read(Qf_ref, n, n))
+
+    def step(i, _):
+        S = _read_scratch(S_scr, n, n)
+        SB = _matmul(S, Bm)
+        SA = _matmul(S, A)
+        H = _add(R, _matmul(Bt, SB))
+        G = _matmul(Bt, SA)
+        Hinv = _sym_inv(H, eps)
+        L = _neg(_matmul(Hinv, G))
+        Lt_ = _transpose(L)
+        HL = _matmul(H, L)
+        S_new = _add(_add(Q, _matmul(At, SA)),
+                     _add(_matmul(Lt_, HL),
+                          _add(_matmul(Lt_, G), _matmul(_transpose(G), L))))
+        # chunk c covers global times [T - (c+1)*tc, T - c*tc); local step i
+        # processes local (forward-order) slot tc-1-i
+        tt = tc - 1 - i
+        _write_t(L_ref, tt, L)
+        _write_t(H_ref, tt, H)
+        _write_scratch(S_scr, S_new)
+        return 0
+
+    jax.lax.fori_loop(0, tc, step, 0)
+
+
+def _kf_kernel(A_ref, F_ref, VV_ref, WW_ref, Sigma0_ref, K_ref, P_scr,
+               *, n, p, T, tc, eps):
+    c = pl.program_id(1)
+
+    A = _read(A_ref, n, n)
+    F = _read(F_ref, p, n)
+    VVt = _read(VV_ref, n, n)
+    WWt = _read(WW_ref, p, p)
+    At = _transpose(A)
+    Ft = _transpose(F)
+
+    @pl.when(c == 0)
+    def _():
+        _write_scratch(P_scr, _read(Sigma0_ref, n, n))
+
+    def step(i, _):
+        P = _read_scratch(P_scr, n, n)
+        P = _add(_matmul(A, _matmul(P, At)), VVt)
+        PFt = _matmul(P, Ft)
+        G = _add(_matmul(F, PFt), WWt)
+        Ginv = _sym_inv(G, eps)
+        K = _matmul(PFt, Ginv)
+        P_new = _sub(P, _matmul(K, _transpose(PFt)))
+        _write_t(K_ref, i, K)
+        _write_scratch(P_scr, P_new)
+        return 0
+
+    jax.lax.fori_loop(0, tc, step, 0)
+
+
+def fused_gains_available(spec: LQGSpec) -> bool:
+    """Kernel scope check: stationary spec, small dims, square noise mats."""
+    if spec.A.ndim != spec.Qf.ndim:  # stacked
+        return False
+    n = spec.A.shape[-1]
+    m = spec.B.shape[-1]
+    p = spec.F.shape[-2]
+    return (n <= 8 and m <= 2 and p <= 3
+            and spec.V.shape[-1] == n and spec.W.shape[-1] == p)
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "time_chunk"))
+def fused_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int,
+                time_chunk: int = 250, eps: float = 1e-12, block=None):
+    """Fused gain schedules for a batch of stationary specs.
+
+    Args:
+        spec: batched stationary spec; leading axis B (particles).
+        Sigma0: (B, n, n) initial covariance.
+        horizon: T (must divide by ``time_chunk``).
+        time_chunk: horizon steps per grid step (bounds VMEM).
+
+    Returns:
+        ``(L, H, K)`` with shapes ``(T, B, m, n)``, ``(T, B, m, m)``,
+        ``(T, B, n, p)`` - matching :func:`lqg_tpu.ops.riccati.backward` /
+        :func:`lqg_tpu.ops.kalman.forward` (with ``regularize="none"``).
+    """
+    del block  # legacy arg
+    Bn = spec.A.shape[0]
+    n = spec.A.shape[-1]
+    m = spec.B.shape[-1]
+    p = spec.F.shape[-2]
+    T = horizon
+    tc = time_chunk
+    while T % tc:
+        tc -= 1
+    n_chunks = T // tc
+    dtype = spec.A.dtype
+
+    # pad particles to a multiple of the (8, 128) tile
+    n_pblocks = -(-Bn // BLOCK)
+    Bp = n_pblocks * BLOCK
+
+    def rows(x, r, c):
+        # (B, r, c) -> (r*c, Bp/LANE, LANE), edge-padded particles
+        flat = jnp.moveaxis(x.reshape(Bn, r * c), 0, -1)
+        if Bp != Bn:
+            flat = jnp.pad(flat, ((0, 0), (0, Bp - Bn)), mode="edge")
+        return flat.reshape(r * c, Bp // LANE, LANE)
+
+    mT_ = lambda M: jnp.swapaxes(M, -1, -2)
+    VV = spec.V @ mT_(spec.V)
+    WW = spec.W @ mT_(spec.W)
+
+    def pspec(r):
+        # input block: all rows, one particle block; same for every t-chunk
+        return pl.BlockSpec((r, SUB, LANE), lambda pb, c: (0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def out_spec_rev(r):
+        # reverse-time output: chunk c covers time block n_chunks-1-c
+        return pl.BlockSpec((tc, r, SUB, LANE),
+                            lambda pb, c, n_chunks=n_chunks:
+                            (n_chunks - 1 - c, 0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def out_spec_fwd(r):
+        return pl.BlockSpec((tc, r, SUB, LANE),
+                            lambda pb, c: (c, 0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid = (n_pblocks, n_chunks)
+    interpret = jax.default_backend() != "tpu"
+    compiler_params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+    L, H = pl.pallas_call(
+        functools.partial(_riccati_kernel, n=n, m=m, T=T, tc=tc, eps=eps),
+        grid=grid,
+        in_specs=[pspec(n * n), pspec(n * m), pspec(n * n), pspec(m * m),
+                  pspec(n * n)],
+        out_specs=(out_spec_rev(m * n), out_spec_rev(m * m)),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, m * n, Bp // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((T, m * m, Bp // LANE, LANE), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n * n, SUB, LANE), dtype)],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(rows(spec.A, n, n), rows(spec.B, n, m), rows(spec.Q, n, n),
+      rows(spec.R, m, m), rows(spec.Qf, n, n))
+
+    K, = pl.pallas_call(
+        functools.partial(_kf_kernel, n=n, p=p, T=T, tc=tc, eps=eps),
+        grid=grid,
+        in_specs=[pspec(n * n), pspec(p * n), pspec(n * n), pspec(p * p),
+                  pspec(n * n)],
+        out_specs=(out_spec_fwd(n * p),),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, n * p, Bp // LANE, LANE), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((n * n, SUB, LANE), dtype)],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(rows(spec.A, n, n), rows(spec.F, p, n), rows(VV, n, n),
+      rows(WW, p, p), rows(Sigma0, n, n))
+
+    def unrows(x, r, c):
+        # (T, r*c, Bp/LANE, LANE) -> (T, B, r, c)
+        flat = x.reshape(T, r * c, Bp)[..., :Bn]
+        return jnp.moveaxis(flat, -1, 1).reshape(T, Bn, r, c)
+
+    return unrows(L, m, n), unrows(H, m, m), unrows(K, n, p)

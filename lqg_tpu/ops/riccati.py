@@ -86,14 +86,19 @@ def backward(
     step = partial(_step, eps=eps, regularize=regularize)
     stationary = spec.A.ndim == spec.Qf.ndim
 
+    # full-f32 matmuls: TPU's default matmul precision (bf16 passes)
+    # compounds to percent-level gain error over T=1000 Riccati steps
+    ctx = jax.default_matmul_precision("highest")
     if stationary:
         if horizon is None:
             raise ValueError("stationary spec requires explicit horizon")
         consts = (spec.Q, spec.q, spec.P, spec.R, spec.r, spec.A, spec.B)
-        (_, _), (L, l, H) = lax.scan(
-            lambda c, _: step(c, consts), (spec.Qf, spec.qf), None,
-            length=horizon, reverse=True,
-        )
+        with ctx:
+            (_, _), (L, l, H) = lax.scan(
+                lambda c, _: step(c, consts), (spec.Qf, spec.qf), None,
+                length=horizon, reverse=True,
+            )
+        return Gains(L=L, l=l, H=H)
     else:
         xs = (
             jnp.moveaxis(spec.Q, -3, 0),
@@ -104,6 +109,63 @@ def backward(
             jnp.moveaxis(spec.A, -3, 0),
             jnp.moveaxis(spec.B, -3, 0),
         )
-        (_, _), (L, l, H) = lax.scan(step, (spec.Qf, spec.qf), xs, reverse=True)
+        with ctx:
+            (_, _), (L, l, H) = lax.scan(step, (spec.Qf, spec.qf), xs,
+                                         reverse=True)
 
+    return Gains(L=L, l=l, H=H)
+
+
+def backward_multiplicative(
+    spec: LQGSpec,
+    C: jnp.ndarray,
+    horizon: Optional[int] = None,
+    eps: float = 1e-8,
+    regularize: str = "jitter",
+) -> Gains:
+    """Riccati backward pass with control-multiplicative (signal-dependent)
+    noise, after Todorov (2005).
+
+    The dynamics carry an additional noise term ``sum_i eps_i C_i u`` with
+    ``eps_i ~ N(0, 1)``: motor noise whose magnitude scales with the control
+    signal (Harris & Wolpert 1998).  The optimal controller differs from
+    plain LQR only in the control Hessian:
+
+        H = R + B^T S B + sum_i C_i^T S C_i
+
+    which penalizes large controls for the extra noise they inject.  This is
+    a greenfield capability: the reference reserves a ``signal_dep_noise``
+    prior (``lqg/infer/prior.py:11``) but ships no model using it.
+
+    Args:
+        spec: stationary spec (no time axis) with zero affine terms.
+        C: control-noise scales ``(k, n, m)`` - ``k`` independent noise
+            channels, each mapping controls to state perturbations.
+        horizon: number of steps.
+
+    Returns time-stacked :class:`Gains`.
+    """
+    if spec.A.ndim != spec.Qf.ndim:
+        raise ValueError("backward_multiplicative expects a stationary spec")
+    if horizon is None:
+        raise ValueError("stationary spec requires explicit horizon")
+
+    A, B, Q, R, P = spec.A, spec.B, spec.Q, spec.R, spec.P
+
+    def step(S, _):
+        SB = S @ B
+        # extra control-dependent-noise penalty: sum_i C_i^T S C_i
+        CtSC = jnp.einsum("kni,...nm,kmj->...ij", C, S, C)
+        H = symmetrize(R + mT(B) @ SB + CtSC)
+        G = P + mT(B) @ (S @ A)
+        Ht = regularize_spd(H, eps, regularize)
+        chol = jnp.linalg.cholesky(Ht)
+        L = -cho_solve(chol, G)
+        S_new = symmetrize(Q + mT(A) @ (S @ A) + mT(G) @ L)
+        return S_new, (L, Ht)
+
+    S0 = spec.Qf
+    with jax.default_matmul_precision("highest"):
+        _, (L, H) = lax.scan(step, S0, None, length=horizon, reverse=True)
+    l = jnp.zeros(L.shape[:-2] + (L.shape[-2],), dtype=L.dtype)
     return Gains(L=L, l=l, H=H)

@@ -109,8 +109,9 @@ def kalman_forward_assoc(spec: LQGSpec, Sigma0: jnp.ndarray,
     elems = RicattiElement(A=Ae, C=Ce, J=Je)
 
     # prefix_t = step_t o ... o step_0
-    prefix = lax.associative_scan(
-        lambda a, b: _compose(first=a, second=b), elems, axis=0)
+    with jax.default_matmul_precision("highest"):
+        prefix = lax.associative_scan(
+            lambda a, b: _compose(first=a, second=b), elems, axis=0)
 
     # P_{t|t} = prefix_t(Sigma0) for t = 0..T-1; filtered covs shifted by one
     Pf = jax.vmap(lambda e: _apply(e, Sigma0))(prefix)
@@ -138,9 +139,10 @@ def lqr_backward_assoc(spec: LQGSpec,
     elems = RicattiElement(A=mT(A), C=Q, J=SB)
 
     # backward composition: value_t = step_t o step_{t+1} o ... o step_{T-1}
-    prefix = lax.associative_scan(
-        lambda a, b: _compose(first=b, second=a), elems, axis=0,
-        reverse=True)
+    with jax.default_matmul_precision("highest"):
+        prefix = lax.associative_scan(
+            lambda a, b: _compose(first=b, second=a), elems, axis=0,
+            reverse=True)
 
     Qf = spec.Qf
     S = jax.vmap(lambda e: _apply(e, Qf))(prefix)  # S_t for t = 0..T-1

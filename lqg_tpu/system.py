@@ -49,9 +49,13 @@ class System:
     """
 
     def __init__(self, actor: LQGSpec, dynamics: LQGSpec,
-                 horizon: Optional[int] = None):
+                 horizon: Optional[int] = None, control_noise=None):
         self.actor = actor
         self.dynamics = dynamics
+        # control-multiplicative (signal-dependent) noise channels (k, n, m):
+        # extra dynamics noise sum_i eps_i C_i u (Todorov 2005); changes the
+        # Riccati pass and the rollout, see riccati.backward_multiplicative
+        self.control_noise = control_noise
         if horizon is None:
             if not _stacked(dynamics):
                 raise ValueError("stationary specs require an explicit horizon")
@@ -91,7 +95,11 @@ class System:
         vmap at ``system.py:157-161``; here hoisting is explicit).
         """
         Sigma0 = self._default_Sigma0() if Sigma0 is None else Sigma0
-        gains = riccati.backward(self.actor, horizon=self.horizon)
+        if self.control_noise is not None:
+            gains = riccati.backward_multiplicative(
+                self.actor, self.control_noise, horizon=self.horizon)
+        else:
+            gains = riccati.backward(self.actor, horizon=self.horizon)
         K = kalman.forward(self.actor, Sigma0=Sigma0, horizon=self.horizon)
         return gains, K
 
@@ -113,9 +121,14 @@ class System:
         x0 = jnp.broadcast_to(x0, (n_, self.xdim))
         xhat0 = jnp.broadcast_to(xhat0, (n_, self.bdim))
 
-        key_eps, key_eta = random.split(rng_key)
+        key_eps, key_eta, key_u = random.split(rng_key, 3)
         eps = random.normal(key_eps, (T, n_, self.dynamics.V.shape[-1]))
         eta = random.normal(key_eta, (T, n_, self.dynamics.W.shape[-1]))
+        if self.control_noise is not None:
+            eps_u = random.normal(key_u,
+                                  (T, n_, self.control_noise.shape[0]))
+        else:
+            eps_u = jnp.zeros((T, n_, 0))
 
         A_d = _tl(self.dynamics.A, self.dynamics)
         B_d = _tl(self.dynamics.B, self.dynamics)
@@ -128,14 +141,19 @@ class System:
 
         Tbr = lambda M: jnp.broadcast_to(M, (T,) + M.shape[1:])
 
+        Cn = self.control_noise
+
         def step(carry, inp):
             x, x_hat = carry
-            Ad, Bd, Fd, Vd, Wd, Aa, Ba, Fa, Lt, lt, Kt, e, h = inp
+            Ad, Bd, Fd, Vd, Wd, Aa, Ba, Fa, Lt, lt, Kt, e, h, eu = inp
 
             # control from the agent's current belief
             u = x_hat @ Lt.T + lt
             # true dynamics
             x = x @ Ad.T + u @ Bd.T + e @ Vd.T
+            if Cn is not None:
+                # signal-dependent motor noise: sum_i eps_i C_i u
+                x = x + jnp.einsum("nk,kim,nm->ni", eu, Cn, u)
             # observation
             y = x @ Fd.T + h @ Wd.T
             # belief update with the actor's internal model
@@ -145,8 +163,10 @@ class System:
             return (x, x_hat), (x, x_hat, y, u)
 
         xs = (Tbr(A_d), Tbr(B_d), Tbr(F_d), Tbr(V_d), Tbr(W_d),
-              Tbr(A_a), Tbr(B_a), Tbr(F_a), L_t, l_t, K, eps, eta)
-        _, (x, x_hat, y, u) = lax.scan(step, (x0, xhat0), xs)
+              Tbr(A_a), Tbr(B_a), Tbr(F_a), L_t, l_t, K, eps, eta, eps_u)
+        import jax
+        with jax.default_matmul_precision("highest"):
+            _, (x, x_hat, y, u) = lax.scan(step, (x0, xhat0), xs)
 
         # (T, n, d) -> (n, T+1, d) with initial state prepended
         x = jnp.concatenate([x0[:, None], jnp.moveaxis(x, 0, 1)], axis=1)

@@ -16,6 +16,7 @@ from lqg_tpu.models import (  # noqa: F401
     delay_system,
     PointMassBoundedActor,
     HandMotionModelTrackingTask,
+    SignalDependentNoiseActor,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "delay_system",
     "PointMassBoundedActor",
     "HandMotionModelTrackingTask",
+    "SignalDependentNoiseActor",
 ]

@@ -64,6 +64,49 @@ def test_2d_models():
         assert jnp.isfinite(ll).all()
 
 
+def test_hand_model_likelihood_finite():
+    """Hand model: marginalized likelihood is non-degenerate (the hand
+    position carries a small noise floor; without it the observed-block
+    covariance is singular at t=0)."""
+    m = HandMotionModelTrackingTask(T=200)
+    x = m.simulate(random.PRNGKey(0), n=5)[..., :2]
+    ll = m.log_likelihood(x)
+    assert jnp.isfinite(ll).all()
+
+    import jax
+    g = jax.grad(lambda c: jnp.sum(
+        HandMotionModelTrackingTask(T=200,
+                                    action_cost=c).log_likelihood(x)))(
+        jnp.asarray(0.9))
+    assert jnp.isfinite(g)
+
+
+def test_signal_dependent_noise_actor():
+    """Multiplicative-noise model: reduces to the plain bounded actor at
+    signal_dep_noise=0, and yields more conservative gains otherwise."""
+    import numpy as np
+    from lqg_tpu.models import SignalDependentNoiseActor
+
+    T = 300
+    base = BoundedActor(T=T, action_cost=0.5)
+    zero = SignalDependentNoiseActor(T=T, action_cost=0.5,
+                                     signal_dep_noise=0.0)
+    g_base, _ = base.gains()
+    g_zero, _ = zero.gains()
+    np.testing.assert_allclose(np.asarray(g_zero.L), np.asarray(g_base.L),
+                               rtol=1e-5, atol=1e-6)
+
+    noisy = SignalDependentNoiseActor(T=T, action_cost=0.5,
+                                      signal_dep_noise=5.0)
+    g_noisy, _ = noisy.gains()
+    # control-dependent noise penalizes control: smaller feedback gains
+    assert float(jnp.abs(g_noisy.L).max()) < float(jnp.abs(g_base.L).max())
+
+    x = noisy.simulate(random.PRNGKey(0), n=5)
+    assert not jnp.isnan(x).any()
+    assert jnp.isfinite(noisy.log_likelihood(x)).all()
+
+
 def test_vmapped_model_construction():
     """Constructors are pure functions of parameters: vmap batches whole
     parameter->likelihood graphs (the TPU-first inference layout)."""
