@@ -70,7 +70,10 @@ def regularize_spd(H: jnp.ndarray, eps: float, mode: str) -> jnp.ndarray:
     Modes:
 
     * ``"none"``  - trust PD-ness (fast path; correct whenever ``R > 0``).
-    * ``"jitter"``- add ``eps * I`` (smooth, differentiable everywhere).
+    * ``"jitter"``- add ``eps * mean(diag(H)) * I`` (smooth, differentiable
+      everywhere, and *scale-invariant*: the relative perturbation is ``eps``
+      regardless of the Hessian's magnitude, which matters because small
+      action costs make ``H`` tiny - e.g. ``OptimalActor``'s 1e-3).
     * ``"eigh"``  - reference-parity clamp: lift the smallest eigenvalue to
       ``eps`` if negative-ish (``lqg/control/lqr.py:26-28``, citing section
       5.4.1 of Li's PhD thesis).  Non-smooth at degenerate spectra; only for
@@ -79,7 +82,9 @@ def regularize_spd(H: jnp.ndarray, eps: float, mode: str) -> jnp.ndarray:
     if mode == "none":
         return H
     if mode == "jitter":
-        return H + eps * jnp.eye(H.shape[-1], dtype=H.dtype)
+        scale = jnp.mean(jnp.diagonal(H, axis1=-2, axis2=-1), axis=-1)
+        lift = eps * (scale + jnp.asarray(1e-30, H.dtype))
+        return H + lift[..., None, None] * jnp.eye(H.shape[-1], dtype=H.dtype)
     if mode == "eigh":
         evals = jnp.linalg.eigvalsh(H)
         lift = jnp.maximum(0.0, eps - evals[..., 0])
