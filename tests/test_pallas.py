@@ -58,3 +58,46 @@ def test_availability_gate():
 
     big = DelayedSubjectiveActor(T=10)
     assert not fused_gains_available(big.actor)  # n = 39 exceeds scope
+
+
+def test_gains_fused_custom_vjp():
+    """gains_fused: Pallas primal matches the scan, and grads flow (via the
+    scan-math VJP) identically to differentiating the scan directly."""
+    T = 30
+
+    def build(c):
+        return tracking_spec(1, 1.0, 0.5, 6.0, 3.0, c, 1 / 60)
+
+    from lqg_tpu.ops.pallas.gains import gains_fused, _scan_gains
+
+    def loss_fused(c):
+        spec = jax.tree.map(lambda a: a[None], build(c))
+        Sigma0 = spec.V @ mT(spec.V)
+        L, H, K = gains_fused(spec, Sigma0, T)
+        return jnp.sum(L**2) + jnp.sum(K**2)
+
+    def loss_scan(c):
+        spec = jax.tree.map(lambda a: a[None], build(c))
+        Sigma0 = spec.V @ mT(spec.V)
+        L, H, K = _scan_gains(spec, Sigma0, T)
+        return jnp.sum(L**2) + jnp.sum(K**2)
+
+    np.testing.assert_allclose(float(loss_fused(0.7)), float(loss_scan(0.7)),
+                               rtol=1e-5)
+    gf = float(jax.grad(loss_fused)(0.7))
+    gs = float(jax.grad(loss_scan)(0.7))
+    np.testing.assert_allclose(gf, gs, rtol=1e-5)
+
+
+def test_system_gains_method_fused():
+    """System.gains(method="fused") matches the scan path end to end."""
+    m = BoundedActor(T=40)
+    g_scan, K_scan = m.gains(method="scan")
+    g_fused, K_fused = m.gains(method="fused")
+    np.testing.assert_allclose(np.asarray(g_fused.L), np.asarray(g_scan.L),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(K_fused), np.asarray(K_scan),
+                               atol=2e-5)
+    assert g_fused.l.shape == g_scan.l.shape
+    # off-TPU (CPU test backend) auto must choose the scan path
+    assert not m._fused_ok()
