@@ -79,3 +79,38 @@ def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains"):
     mcmc._samples_u = zs
     mcmc._extra = extra
     return mcmc
+
+
+def sequence_parallel_log_likelihood(system, x, mesh: Mesh, axis: str = "sp"):
+    """Likelihood with the HORIZON sharded over a mesh axis.
+
+    Sequence (time) parallelism - a greenfield capability (the reference
+    scans T strictly sequentially on one device, ``lqg/system.py:214-233``):
+    the joint system's time-stacked operators are sharded over ``axis`` and
+    the likelihood is evaluated with the associative-scan formulation
+    (:func:`lqg_tpu.parallel.pscan.trial_log_likelihood_assoc`), whose
+    O(log T) composition tree XLA partitions into per-shard scans plus
+    ICI collectives at shard boundaries.  Use when T is too long for one
+    chip's sequential latency (T ~ 1e4-1e6).
+
+    Args:
+        system: a :class:`lqg_tpu.system.System`.
+        x: trials ``(n, T+1, d)``, replicated.
+        mesh: mesh with axis ``axis``; its size should divide T.
+
+    Returns:
+        ``(n,)`` per-trial log likelihoods (replicated).
+    """
+    from lqg_tpu.parallel.pscan import trial_log_likelihood_assoc
+
+    tspec = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def _ll(xr):
+        joint = system._joint()
+        joint = type(joint)(
+            F=jax.lax.with_sharding_constraint(joint.F, tspec),
+            G=jax.lax.with_sharding_constraint(joint.G, tspec))
+        return trial_log_likelihood_assoc(joint, xr)
+
+    return _ll(jax.device_put(x, NamedSharding(mesh, P())))

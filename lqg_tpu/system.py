@@ -265,15 +265,25 @@ class System:
         Sigma = jnp.broadcast_to(Sigma[None, :, :d, :d], (n, Tp1 - 1, d, d))
         return GaussianSequence(mu[..., :d], Sigma)
 
-    def log_likelihood(self, x, Sigma0=None):
+    def log_likelihood(self, x, Sigma0=None, method: str = "scan"):
         """Per-trial log likelihood of ``x[:, 1:]`` given the model.
 
         Fast path: data-free covariance work once, trials batched into
         matmuls (see :func:`lqg_tpu.ops.gaussian.trial_log_likelihood`).
+
+        Args:
+            method: ``"scan"`` (sequential over T, minimal FLOPs) or
+                ``"pscan"`` (associative scan, O(log T) depth - for long
+                horizons and for sharding the time axis over a mesh, see
+                :func:`lqg_tpu.parallel.pscan.trial_log_likelihood_assoc`).
         """
         d = x.shape[-1]
         self._check_obs(x)
         joint = self._joint(Sigma0)
+        if method == "pscan":
+            from lqg_tpu.parallel.pscan import trial_log_likelihood_assoc
+
+            return trial_log_likelihood_assoc(joint, x)
         kernel = gaussian.conditional_kernel(joint, d)
         return gaussian.trial_log_likelihood(kernel, x)
 

@@ -10,7 +10,7 @@ import pytest
 from lqg_tpu.ops import riccati, kalman, gaussian
 from lqg_tpu.parallel import pscan, make_mesh, local_mesh
 from lqg_tpu.parallel.sharding import sharded_log_likelihood, \
-    sharded_chains_run
+    sharded_chains_run, sequence_parallel_log_likelihood
 from lqg_tpu.utils import stationary_spec
 from lqg_tpu.models import BoundedActor, SubjectiveActor
 
@@ -142,3 +142,74 @@ def test_sharded_chains_statistically_correct():
 
     df = m.summary()
     assert (df["r_hat"] < 1.05).all()
+
+
+@pytest.mark.parametrize("T,n,d", [(1, 3, 2), (2, 3, 2), (7, 5, 2),
+                                   (64, 4, 2), (200, 2, 2)])
+def test_pscan_likelihood_matches_sequential(T, n, d, x64):
+    """Parallel-in-time conditioned likelihood == sequential kernel path."""
+    model = BoundedActor(T=T, action_cost=0.6, sigma_cursor=2.0)
+    x = model.simulate(random.PRNGKey(4), n=n)[..., :d]
+
+    ll_seq = model.log_likelihood(x)
+    ll_par = model.log_likelihood(x, method="pscan")
+    np.testing.assert_allclose(np.asarray(ll_par), np.asarray(ll_seq),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_pscan_likelihood_subjective_and_delay(x64):
+    """pscan likelihood on mismatched-actor and delay-augmented models
+    (non-square joint blocks, singular delay dynamics)."""
+    from lqg_tpu.models import TemporalDelayModel
+
+    for model in (SubjectiveActor(T=60), TemporalDelayModel(SubjectiveActor(T=60), delay=4)):
+        x = model.simulate(random.PRNGKey(5), n=3)
+        ll_seq = model.log_likelihood(x)
+        ll_par = model.log_likelihood(x, method="pscan")
+        np.testing.assert_allclose(np.asarray(ll_par), np.asarray(ll_seq),
+                                   rtol=1e-7, atol=1e-7)
+
+
+def test_pscan_likelihood_gradients_match(x64):
+    """Gradients w.r.t. model parameters agree between the two paths (the
+    NUTS chain rule goes parameters -> gains -> joint -> likelihood)."""
+    x = BoundedActor(T=40).simulate(random.PRNGKey(6), n=4)
+
+    def ll(c, method):
+        m = BoundedActor(T=40, action_cost=c)
+        return jnp.sum(m.log_likelihood(x, method=method))
+
+    g_seq = jax.grad(lambda c: ll(c, "scan"))(jnp.asarray(0.5))
+    g_par = jax.grad(lambda c: ll(c, "pscan"))(jnp.asarray(0.5))
+    np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_seq),
+                               rtol=1e-6)
+
+
+def test_pscan_likelihood_sp_sharded(x64):
+    """The associative-scan likelihood runs with the data (trial axis)
+    sharded over the mesh - the compiled program partitions the composes
+    and reduces over ICI collectives on real hardware."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = local_mesh(8, name="sp")
+    model = BoundedActor(T=64)
+    x = model.simulate(random.PRNGKey(7), n=8)
+
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("sp")))
+    ll = jax.jit(lambda d: model.log_likelihood(d, method="pscan"))(x_sh)
+    expected = model.log_likelihood(x)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(expected),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sequence_parallel_log_likelihood(x64):
+    """Horizon sharded over 8 devices: the associative-scan likelihood
+    matches the single-device sequential path."""
+    mesh = local_mesh(8, name="sp")
+    model = BoundedActor(T=160)
+    x = model.simulate(random.PRNGKey(8), n=4)
+
+    ll_sp = sequence_parallel_log_likelihood(model, x, mesh)
+    expected = model.log_likelihood(x)
+    np.testing.assert_allclose(np.asarray(ll_sp), np.asarray(expected),
+                               rtol=1e-8, atol=1e-8)

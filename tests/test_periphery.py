@@ -110,3 +110,13 @@ def test_cli_arg_parsing():
     assert args.model == "SubjectiveActor"
     assert args.nsamp == 10
     assert "action_cost" in args.shared_params
+
+
+def test_profiling_timeit():
+    import jax.numpy as jnp
+    from lqg_tpu.utils.profiling import timeit
+
+    t = timeit(lambda a: a * 2, jnp.arange(8.0), iters=3, warmup=1,
+               name="mul")
+    assert t.mean_s > 0 and t.min_s <= t.mean_s and t.per_s > 0
+    assert "mul" in str(t)
