@@ -62,6 +62,9 @@ class AutoMVN(NamedTuple):
     def transform(self, eps):
         return self.loc + self.scale_tril @ eps
 
+    def transform_and_logdet(self, eps):
+        return self.transform(eps), self.log_det()
+
     def log_det(self):
         return jnp.sum(jnp.log(jnp.abs(jnp.diag(self.scale_tril))))
 

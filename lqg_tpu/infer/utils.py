@@ -20,7 +20,7 @@ from lqg_tpu.infer.svi import fit_auto_mvn
 def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
           process_noise=1.0, dt=1.0 / 60, method="nuts", progress_bar=True,
           num_chains=1, seed=0, max_depth=10, neutra_steps=5000,
-          **fixed) -> MCMC:
+          neutra_guide="iaf", **fixed) -> MCMC:
     """Sample the posterior over model parameters given trajectories ``x``.
 
     Args:
@@ -30,9 +30,12 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
         model_fn: builder returning a :class:`ProbModel` (default: the
             prior-lifted single-condition model).
         method: ``"nuts"`` or ``"neutra"`` (NUTS on a variationally
-            preconditioned space; the reference uses a BNAF flow,
-            ``lqg/infer/utils.py:21-31`` - here the flow is a fitted
-            full-rank Gaussian).
+            preconditioned space, like the reference's BNAF-flow NeuTra,
+            ``lqg/infer/utils.py:21-31``).
+        neutra_guide: preconditioner family for ``method="neutra"`` -
+            ``"iaf"`` (masked autoregressive flow,
+            :func:`lqg_tpu.infer.flows.fit_auto_iaf`) or ``"mvn"``
+            (full-rank Gaussian).
         num_chains: chains, vmapped on-device.
 
     Returns:
@@ -45,8 +48,18 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
                           **fixed)
 
     if method == "neutra":
-        guide, _ = fit_auto_mvn(prob_model, random.PRNGKey(seed),
-                                steps=neutra_steps)
+        if neutra_guide == "iaf":
+            from lqg_tpu.infer.flows import fit_auto_iaf
+
+            guide, _ = fit_auto_iaf(prob_model, random.PRNGKey(seed),
+                                    steps=neutra_steps)
+        elif neutra_guide == "mvn":
+            guide, _ = fit_auto_mvn(prob_model, random.PRNGKey(seed),
+                                    steps=neutra_steps)
+        else:
+            raise ValueError(
+                "neutra_guide must be 'iaf' or 'mvn', got "
+                f"{neutra_guide!r}")
         prob_model = neutra_reparam(prob_model, guide)
     elif method != "nuts":
         raise ValueError(
@@ -60,11 +73,13 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
 
 
 def neutra_reparam(model: ProbModel, guide) -> ProbModel:
-    """Precondition a model through a fitted guide transform.
+    """Precondition a model through a fitted guide transform (NeuTra).
 
     NUTS runs in the guide's standardized space ``eps``; positions map back
-    through ``u = loc + scale_tril eps`` (affine flow), with the constant
-    log-det absorbed (it does not affect sampling).
+    through the guide's forward transform ``u = f(eps)`` - affine for the
+    Gaussian guide, a masked autoregressive flow for :class:`AutoIAF` - and
+    the density picks up the transform's log-Jacobian (constant in the
+    affine case, eps-dependent for flows).
     """
     names = model.names
 
@@ -76,8 +91,8 @@ def neutra_reparam(model: ProbModel, guide) -> ProbModel:
     base_log_joint = model.log_joint_unconstrained
 
     def log_joint_eps(eps):
-        u = guide.transform(eps)
-        return base_log_joint(u)
+        u, logdet = guide.transform_and_logdet(eps)
+        return base_log_joint(u) + logdet
 
     # override the unconstrained-space plumbing
     reparam.log_joint_unconstrained = log_joint_eps

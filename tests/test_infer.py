@@ -133,14 +133,72 @@ def test_infer_end_to_end():
         assert (np.asarray(v) > 0).all()
 
 
-def test_neutra_smoke():
-    """NeuTra-preconditioned NUTS runs and yields positive finite samples."""
+@pytest.mark.parametrize("guide", ["iaf", "mvn"])
+def test_neutra_smoke(guide):
+    """NeuTra-preconditioned NUTS (flow and affine guides) runs and yields
+    positive finite samples."""
     x = BoundedActor(T=100).simulate(random.PRNGKey(0), n=3)
     mcmc = infer(x, num_samples=10, num_warmup=10, model=BoundedActor,
-                 method="neutra", neutra_steps=300, max_depth=5, seed=0)
+                 method="neutra", neutra_guide=guide, neutra_steps=300,
+                 max_depth=5, seed=0)
     for v in mcmc.get_samples().values():
         assert np.isfinite(np.asarray(v)).all()
         assert (np.asarray(v) > 0).all()
+
+
+def _perturbed_iaf(key_build, key_noise, dim, num_layers, scale=0.4):
+    from lqg_tpu.infer.flows import AutoIAF, make_auto_iaf
+
+    g = make_auto_iaf(key_build, dim=dim, hidden=16, num_layers=num_layers)
+    loc, ls, layers = jax.tree.map(
+        lambda x: x + scale * random.normal(key_noise, x.shape),
+        (g.loc, g.log_scale, g.layers))
+    return AutoIAF(loc=loc, log_scale=ls, layers=layers, masks=g.masks)
+
+
+def test_iaf_logdet_matches_autodiff():
+    """The flow's one-pass log-determinant equals the autodiff Jacobian's."""
+    g = _perturbed_iaf(random.PRNGKey(0), random.PRNGKey(1), dim=4,
+                       num_layers=3)
+    eps = random.normal(random.PRNGKey(2), (4,))
+    _, ld = g.transform_and_logdet(eps)
+    sign, ld_ref = jnp.linalg.slogdet(jax.jacfwd(g.transform)(eps))
+    assert float(sign) == 1.0
+    np.testing.assert_allclose(float(ld), float(ld_ref), atol=1e-4)
+
+
+def test_iaf_autoregressive_jacobian():
+    """A single IAF layer's Jacobian is lower-triangular in its ordering
+    (the MADE masks enforce the autoregressive property)."""
+    g = _perturbed_iaf(random.PRNGKey(3), random.PRNGKey(4), dim=5,
+                       num_layers=1, scale=0.5)
+    J = jax.jacfwd(g.transform)(random.normal(random.PRNGKey(5), (5,)))
+    assert np.abs(np.triu(np.asarray(J), k=1)).max() < 1e-6
+
+
+def test_iaf_fits_correlated_gaussian():
+    """ELBO-fitted IAF reproduces a correlated Gaussian's moments."""
+    from lqg_tpu.infer.flows import fit_auto_iaf
+
+    mu = jnp.array([1.0, -2.0])
+    cov = jnp.array([[2.0, 1.2], [1.2, 1.5]])
+    P = jnp.linalg.inv(cov)
+
+    def ll(p):
+        z = jnp.stack([p["a"], p["b"]]) - mu
+        return -0.5 * z @ P @ z
+
+    model = ProbModel(init={"a": jnp.asarray(0.0), "b": jnp.asarray(0.0)},
+                      transforms={"a": tfm.identity, "b": tfm.identity},
+                      log_likelihood=ll, priors={})
+    guide, losses = fit_auto_iaf(model, random.PRNGKey(6), steps=4000,
+                                 step_size=1e-2)
+    assert float(losses[-500:].mean()) < float(losses[:50].mean())
+    s = guide.sample(random.PRNGKey(7), (4000,))
+    np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(mu),
+                               atol=0.3)
+    np.testing.assert_allclose(np.cov(np.asarray(s).T), np.asarray(cov),
+                               atol=0.45)
 
 
 def test_sample_from_prior():
