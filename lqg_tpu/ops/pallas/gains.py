@@ -153,8 +153,10 @@ def _riccati_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, L_ref, H_ref, S_scr,
     def _():
         _write_scratch(S_scr, _read(Qf_ref, n, n))
 
-    def step(i, _):
-        S = _read_scratch(S_scr, n, n)
+    # the Riccati carry rides the fori_loop VALUE (registers), not scratch:
+    # per-step VMEM round-trips of the carry dominate kernel latency
+    def step(i, S_rows):
+        S = _mat(list(S_rows), n, n)
         SB = _matmul(S, Bm)
         SA = _matmul(S, A)
         H = _add(R, _matmul(Bt, SB))
@@ -171,10 +173,11 @@ def _riccati_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, L_ref, H_ref, S_scr,
         tt = tc - 1 - i
         _write_t(L_ref, tt, L)
         _write_t(H_ref, tt, H)
-        _write_scratch(S_scr, S_new)
-        return 0
+        return tuple(S_new[0])
 
-    jax.lax.fori_loop(0, tc, step, 0)
+    S_fin = jax.lax.fori_loop(0, tc, step,
+                              tuple(_read_scratch(S_scr, n, n)[0]))
+    _write_scratch(S_scr, _mat(list(S_fin), n, n))
 
 
 def _kf_kernel(A_ref, F_ref, VV_ref, WW_ref, Sigma0_ref, K_ref, P_scr,
@@ -192,8 +195,8 @@ def _kf_kernel(A_ref, F_ref, VV_ref, WW_ref, Sigma0_ref, K_ref, P_scr,
     def _():
         _write_scratch(P_scr, _read(Sigma0_ref, n, n))
 
-    def step(i, _):
-        P = _read_scratch(P_scr, n, n)
+    def step(i, P_rows):
+        P = _mat(list(P_rows), n, n)
         P = _add(_matmul(A, _matmul(P, At)), VVt)
         PFt = _matmul(P, Ft)
         G = _add(_matmul(F, PFt), WWt)
@@ -201,10 +204,11 @@ def _kf_kernel(A_ref, F_ref, VV_ref, WW_ref, Sigma0_ref, K_ref, P_scr,
         K = _matmul(PFt, Ginv)
         P_new = _sub(P, _matmul(K, _transpose(PFt)))
         _write_t(K_ref, i, K)
-        _write_scratch(P_scr, P_new)
-        return 0
+        return tuple(P_new[0])
 
-    jax.lax.fori_loop(0, tc, step, 0)
+    P_fin = jax.lax.fori_loop(0, tc, step,
+                              tuple(_read_scratch(P_scr, n, n)[0]))
+    _write_scratch(P_scr, _mat(list(P_fin), n, n))
 
 
 def _scan_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):

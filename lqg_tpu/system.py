@@ -265,25 +265,50 @@ class System:
         Sigma = jnp.broadcast_to(Sigma[None, :, :d, :d], (n, Tp1 - 1, d, d))
         return GaussianSequence(mu[..., :d], Sigma)
 
-    def log_likelihood(self, x, Sigma0=None, method: str = "scan"):
+    def log_likelihood(self, x, Sigma0=None, method: str = "auto"):
         """Per-trial log likelihood of ``x[:, 1:]`` given the model.
 
-        Fast path: data-free covariance work once, trials batched into
-        matmuls (see :func:`lqg_tpu.ops.gaussian.trial_log_likelihood`).
+        Fast paths: data-free covariance work once, trials batched into
+        matmuls (see :func:`lqg_tpu.ops.gaussian.trial_log_likelihood`); on
+        TPU the whole conditioned recursion (and its VJP) runs as one fused
+        Pallas kernel (:mod:`lqg_tpu.ops.pallas.likelihood`) - an XLA
+        T-step scan pays a ~25 us/step dispatch floor that dominates at
+        small state dims.
 
         Args:
-            method: ``"scan"`` (sequential over T, minimal FLOPs) or
-                ``"pscan"`` (associative scan, O(log T) depth - for long
-                horizons and for sharding the time axis over a mesh, see
+            method: ``"auto"`` (fused kernel on TPU when the joint dims fit,
+                else the sequential scan), ``"fused"`` (force the Pallas
+                kernel, interpreted off-TPU), ``"scan"`` (sequential over T,
+                minimal FLOPs), or ``"pscan"`` (associative scan, O(log T)
+                depth - for long horizons and for sharding the time axis
+                over a mesh, see
                 :func:`lqg_tpu.parallel.pscan.trial_log_likelihood_assoc`).
         """
         d = x.shape[-1]
         self._check_obs(x)
         joint = self._joint(Sigma0)
+        if method == "auto":
+            from lqg_tpu.ops.pallas.likelihood import fused_ll_available
+
+            j = joint.F.shape[-1]
+            fused_ok = (jax.default_backend() == "tpu"
+                        and joint.F.ndim == 3
+                        and fused_ll_available(j, d, joint.F.dtype))
+            method = "fused" if fused_ok else "scan"
+        if method == "fused":
+            from lqg_tpu.ops.pallas.likelihood import (
+                conditioned_log_likelihood_fused)
+
+            Q = joint.G @ mT(joint.G)
+            return conditioned_log_likelihood_fused(
+                joint.F[None], Q[None], x[None])[0]
         if method == "pscan":
             from lqg_tpu.parallel.pscan import trial_log_likelihood_assoc
 
             return trial_log_likelihood_assoc(joint, x)
+        if method != "scan":
+            raise ValueError(
+                f"method must be auto|fused|scan|pscan, got {method!r}")
         kernel = gaussian.conditional_kernel(joint, d)
         return gaussian.trial_log_likelihood(kernel, x)
 

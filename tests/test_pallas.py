@@ -101,3 +101,137 @@ def test_system_gains_method_fused():
     assert g_fused.l.shape == g_scan.l.shape
     # off-TPU (CPU test backend) auto must choose the scan path
     assert not m._fused_ok()
+
+
+# --- fused marginalized-likelihood kernel ---
+
+from jax import random, lax
+import math
+
+from lqg_tpu.ops import gaussian
+from lqg_tpu.ops.pallas.likelihood import (conditioned_log_likelihood_fused,
+                                           fused_ll_available)
+
+
+def _joint_FQ(model, T):
+    g, K = model.gains()
+    joint = gaussian.joint_system(model.dynamics, model.actor, g.L, K, T)
+    return joint.F, joint.G @ mT(joint.G)
+
+
+def _xla_twin_ll(F, Q, x):
+    """Straight-line XLA twin of the fused recursion (oracle for grads on
+    singular Q, where a cholesky-based reconstruction would NaN)."""
+    T, j, _ = F.shape
+    n, Tp1, d = x.shape
+    X = jnp.moveaxis(x, 0, -1)
+    Sigma = Q[0]
+    mu = jnp.concatenate([X[0], jnp.zeros((j - d, n))], axis=0)
+
+    def step(carry, inp):
+        Sigma, mu, q, ld = carry
+        F_t, Q_t, x_t, t = inp
+        S = Sigma[:d, :d]
+        Sinv = jnp.linalg.inv(S)
+        e = x_t - mu[:d]
+        mask = (t >= 1).astype(F_t.dtype)
+        q = q + mask * jnp.sum(e * (Sinv @ e), axis=0)
+        ld = ld + mask * jnp.log(jnp.linalg.det(S))
+        FS = F_t @ Sigma
+        P = FS[:, :d]
+        J = P @ Sinv
+        mu = F_t @ mu + J @ e
+        Sigma = FS @ F_t.T + Q_t - J @ P.T
+        Sigma = 0.5 * (Sigma + Sigma.T)
+        return (Sigma, mu, q, ld), None
+
+    (Sigma, mu, q, ld), _ = lax.scan(
+        step, (Sigma, mu, jnp.zeros(n), jnp.zeros(())),
+        (F, Q, X[:-1], jnp.arange(T)))
+    S = Sigma[:d, :d]
+    e = X[-1] - mu[:d]
+    q = q + jnp.sum(e * (jnp.linalg.inv(S) @ e), axis=0)
+    ld = ld + jnp.log(jnp.linalg.det(S))
+    return -0.5 * (q + ld + T * d * math.log(2 * math.pi))
+
+
+def test_fused_ll_matches_xla_path():
+    """Fused likelihood == the production XLA path (BoundedActor, j=4)."""
+    T, n = 16, 4
+    m = BoundedActor(T=T)
+    x = m.simulate(random.PRNGKey(0), n=n)
+    ll_ref = m.log_likelihood(x, method="scan")
+    ll = m.log_likelihood(x, method="fused")
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_fused_ll_gradient_parity():
+    """The hand-derived adjoint kernel == autodiff of the XLA twin,
+    including a singular joint noise covariance (SubjectiveActor j=5)."""
+    T, n = 12, 3
+    x = SubjectiveActor(T=T).simulate(random.PRNGKey(1), n=n)
+    F, Q = _joint_FQ(SubjectiveActor(T=T, subj_vel_noise=1.5), T)
+    X = x[None]
+
+    ll = conditioned_log_likelihood_fused(F[None], Q[None], X)
+    ll_ref = _xla_twin_ll(F, Q, x)
+    np.testing.assert_allclose(np.asarray(ll[0]), np.asarray(ll_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    gF, gQ = jax.grad(
+        lambda F_, Q_: conditioned_log_likelihood_fused(
+            F_[None], Q_[None], X).sum(), argnums=(0, 1))(F, Q)
+    gF2, gQ2 = jax.grad(lambda F_, Q_: _xla_twin_ll(F_, Q_, x).sum(),
+                        argnums=(0, 1))(F, Q)
+    sym = lambda a: 0.5 * (a + jnp.swapaxes(a, -1, -2))
+    np.testing.assert_allclose(np.asarray(gF), np.asarray(gF2),
+                               rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sym(gQ)), np.asarray(sym(gQ2)),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_fused_ll_theta_batch_and_vmap():
+    """Explicit theta batch and vmap-over-theta agree with per-theta calls."""
+    T, n, P = 10, 3, 3
+    x = BoundedActor(T=T).simulate(random.PRNGKey(2), n=n)
+    costs = [0.3, 0.7, 1.5]
+    FQ = [_joint_FQ(BoundedActor(T=T, action_cost=c), T) for c in costs]
+    F = jnp.stack([f for f, _ in FQ])
+    Q = jnp.stack([q for _, q in FQ])
+    X = jnp.broadcast_to(x[None], (P,) + x.shape)
+
+    ll_batch = conditioned_log_likelihood_fused(F, Q, X)
+    ll_ref = jnp.stack(
+        [BoundedActor(T=T, action_cost=c).log_likelihood(x, method="scan")
+         for c in costs])
+    np.testing.assert_allclose(np.asarray(ll_batch), np.asarray(ll_ref),
+                               rtol=2e-4, atol=2e-3)
+
+    ll_vmap = jax.vmap(lambda Fi, Qi: conditioned_log_likelihood_fused(
+        Fi[None], Qi[None], x[None])[0])(F, Q)
+    np.testing.assert_allclose(np.asarray(ll_vmap), np.asarray(ll_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_fused_ll_end_to_end_param_grad():
+    """grad of the fused likelihood w.r.t. model parameters matches the
+    scan path (the full NUTS chain rule: params -> gains -> joint -> ll)."""
+    T, n = 12, 4
+    x = BoundedActor(T=T).simulate(random.PRNGKey(3), n=n)
+
+    def nll(c, method):
+        return -BoundedActor(T=T, action_cost=c).log_likelihood(
+            x, method=method).sum()
+
+    g1 = jax.grad(lambda c: nll(c, "fused"))(jnp.float32(0.6))
+    g2 = jax.grad(lambda c: nll(c, "scan"))(jnp.float32(0.6))
+    np.testing.assert_allclose(float(g1), float(g2), rtol=2e-3, atol=1e-3)
+
+
+def test_fused_ll_availability():
+    assert fused_ll_available(4, 2, jnp.float32)
+    assert fused_ll_available(8, 3, jnp.float32)
+    assert not fused_ll_available(9, 2, jnp.float32)    # j too large
+    assert not fused_ll_available(4, 4, jnp.float32)    # d too large
+    assert not fused_ll_available(4, 2, jnp.float64)    # wrong dtype
