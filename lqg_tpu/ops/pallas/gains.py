@@ -220,6 +220,44 @@ def _scan_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     return g.L, g.H, K
 
 
+@functools.lru_cache(maxsize=None)
+def _gains_fwd_cv(horizon: int):
+    """custom_vmap wrapper folding mapped axes into the particle axis.
+
+    Without this, vmap over ``gains_fused`` (e.g. NUTS chains vmapped over
+    the model potential) hits the default pallas batching rule - one
+    serialized kernel instance per chain, each paying the full T-loop
+    latency.  Folding rides all chains on the kernel's lane batch instead.
+    """
+    import jax.custom_batching
+
+    def call(spec, Sigma0):
+        return fused_gains(spec, Sigma0, horizon=horizon)
+
+    cv = jax.custom_batching.custom_vmap(call)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, spec, Sigma0):
+        B = axis_size
+
+        def fold(x, b):
+            if not b:
+                x = jnp.broadcast_to(x[None], (B,) + x.shape)
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        spec_f = jax.tree.map(fold, spec, in_batched[0])
+        S0_f = fold(Sigma0, in_batched[1])
+        L, H, K = cv(spec_f, S0_f)          # (T, B*P, ...)
+
+        def unfold(a):
+            a = a.reshape((a.shape[0], B, -1) + a.shape[2:])
+            return jnp.moveaxis(a, 1, 0)    # (B, T, P, ...)
+
+        return (unfold(L), unfold(H), unfold(K)), (True, True, True)
+
+    return cv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gains_fused(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     """Differentiable fused gains: Pallas kernel forward, scan-VJP backward.
@@ -230,14 +268,15 @@ def gains_fused(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     fused kernel as the primal and computes the VJP through the XLA scan
     implementation (same math, ``regularize="none"``), so ``jax.grad``
     through a fused-gains likelihood matches the scan path to O(eps).
+    The primal is vmap-aware: mapped axes fold into the particle batch.
 
     Same contract as :func:`fused_gains` (batched stationary spec).
     """
-    return fused_gains(spec, Sigma0, horizon=horizon)
+    return _gains_fwd_cv(horizon)(spec, Sigma0)
 
 
 def _gains_fused_fwd(spec, Sigma0, horizon):
-    return fused_gains(spec, Sigma0, horizon=horizon), (spec, Sigma0)
+    return _gains_fwd_cv(horizon)(spec, Sigma0), (spec, Sigma0)
 
 
 def _gains_fused_bwd(horizon, res, cotangents):
