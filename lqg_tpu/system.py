@@ -124,11 +124,25 @@ class System:
         Args:
             method: ``"auto"`` (fused Pallas kernel on TPU when the spec is
                 in kernel scope, else scans), ``"fused"`` (force the Pallas
-                kernel, interpreted off-TPU), or ``"scan"``.  The fused
-                primal is ~100x lower latency per solve; gradients flow
-                through a scan-math VJP either way.
+                kernel, interpreted off-TPU), ``"scan"``, or ``"sqrt"``
+                (QR array-form recursions, :mod:`lqg_tpu.ops.sqrt` - factors
+                instead of covariances, guaranteed-PSD propagation for
+                extreme conditioning; requires zero affine/cross cost terms).
+                The fused primal is ~100x lower latency per solve; gradients
+                flow through a scan-math VJP either way.
         """
         Sigma0 = self._default_Sigma0() if Sigma0 is None else Sigma0
+        if method == "sqrt":
+            from lqg_tpu.ops.sqrt import (riccati_backward_sqrt,
+                                          kalman_forward_sqrt)
+
+            if self.control_noise is not None:
+                raise ValueError(
+                    "sqrt gains do not support control-multiplicative noise")
+            gains = riccati_backward_sqrt(self.actor, horizon=self.horizon)
+            K = kalman_forward_sqrt(self.actor, Sigma0=Sigma0,
+                                    horizon=self.horizon)
+            return gains, K
         if method == "fused" or (method == "auto" and self._fused_ok()):
             from lqg_tpu.ops.pallas.gains import gains_fused
 
