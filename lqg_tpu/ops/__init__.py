@@ -1,3 +1,3 @@
-from lqg_tpu.ops import riccati, kalman, gaussian, linalg, sqrt
+from lqg_tpu.ops import riccati, kalman, gaussian, linalg, sqrt, dare
 
-__all__ = ["riccati", "kalman", "gaussian", "linalg", "sqrt"]
+__all__ = ["riccati", "kalman", "gaussian", "linalg", "sqrt", "dare"]

@@ -18,8 +18,11 @@ Usage: python scripts/profiling/ab_likelihood.py
 """
 
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 os.makedirs(os.path.expanduser("~/.cache/jax_lqg"), exist_ok=True)
 import jax
 

@@ -40,6 +40,32 @@ def test_fit_dog_recovers():
     np.testing.assert_allclose(dog(x, **params), y, atol=1e-5)
 
 
+def test_fit_batch_jax_engine():
+    """Vmapped multi-start LM reaches the noise floor on a batch of DoGs."""
+    from lqg_tpu.ccg import fit_ccg_shape_batch, skewed_gabor
+
+    lags = np.arange(-60, 61).astype(float)
+    rng = np.random.default_rng(0)
+    y = dog(lags, 1.2, 0.8, 3.0, -2.0, 6.0, 9.0)
+    noise = 0.002
+    batch = y + noise * rng.standard_normal((3, 5) + y.shape)
+
+    params, losses = fit_ccg_shape_batch("dog", lags, batch, engine="jax")
+    assert params.shape == (3, 5, 6)
+    assert losses.shape == (3, 5)
+    # noise floor: E[sum r^2] = n_points * noise^2
+    assert float(np.median(losses)) < 3 * len(lags) * noise**2
+
+    yg = skewed_gabor(lags, 0.4, 8.0, 10.0, 5.0, 0.02)
+    bg = yg + 0.001 * rng.standard_normal((4,) + yg.shape)
+    pg, lg = fit_ccg_shape_batch("skewed_gabor", lags, bg, engine="jax")
+    # multi-start rescues the oscillatory shape from p0's local minimum
+    assert float(np.median(lg)) < 0.05
+
+    with pytest.raises(ValueError):
+        fit_ccg_shape_batch("dog", lags, batch, engine="bogus")
+
+
 def _have_data():
     try:
         find_data_file()
