@@ -124,14 +124,30 @@ class System:
         Args:
             method: ``"auto"`` (fused Pallas kernel on TPU when the spec is
                 in kernel scope, else scans), ``"fused"`` (force the Pallas
-                kernel, interpreted off-TPU), ``"scan"``, or ``"sqrt"``
+                kernel, interpreted off-TPU), ``"scan"``, ``"sqrt"``
                 (QR array-form recursions, :mod:`lqg_tpu.ops.sqrt` - factors
                 instead of covariances, guaranteed-PSD propagation for
-                extreme conditioning; requires zero affine/cross cost terms).
+                extreme conditioning; requires zero affine/cross cost terms),
+                or ``"steady"`` (infinite-horizon gains by doubling,
+                :mod:`lqg_tpu.ops.dare`, broadcast across the horizon -
+                O(log) work instead of O(T); exact in the long-horizon
+                interior, approximate near the boundaries).
                 The fused primal is ~100x lower latency per solve; gradients
                 flow through a scan-math VJP either way.
         """
         Sigma0 = self._default_Sigma0() if Sigma0 is None else Sigma0
+        if method == "steady":
+            from lqg_tpu.ops.dare import steady_state
+
+            if _stacked(self.actor):
+                raise ValueError("steady gains require a stationary actor "
+                                 "spec (time-invariant problem)")
+            ss = steady_state(self.actor)
+            T = self.horizon
+            L = jnp.broadcast_to(ss.L, (T,) + ss.L.shape)
+            K = jnp.broadcast_to(ss.K, (T,) + ss.K.shape)
+            l = jnp.zeros(L.shape[:-1], dtype=L.dtype)
+            return riccati.Gains(L=L, l=l, H=None), K
         if method == "sqrt":
             from lqg_tpu.ops.sqrt import (riccati_backward_sqrt,
                                           kalman_forward_sqrt)

@@ -44,7 +44,7 @@ def main():
     model = BoundedActor(T=args.time - 1, **true)
     x = model.simulate(random.PRNGKey(0), n=args.trials)
 
-    prob = lifted_model(x, BoundedActor, T=args.time - 1)
+    prob = lifted_model(x, BoundedActor)  # T is derived from x
     mcmc = MCMC(prob, num_warmup=args.warmup, num_samples=args.samples,
                 num_chains=args.chains)
 

@@ -67,3 +67,15 @@ def test_steady_differentiable():
 
     g = jax.grad(loss)(0.5)
     assert bool(jnp.isfinite(g)) and abs(float(g)) > 0.0
+
+
+def test_system_gains_steady_method():
+    from lqg_tpu.models import BoundedActor
+
+    sys = BoundedActor(T=400)
+    g, K = sys.gains(method="steady")
+    assert g.L.shape == (400, 1, 2) and K.shape == (400, 2, 2)
+    gs, Ks = sys.gains(method="scan")
+    # exact in the long-horizon interior (away from the terminal boundary)
+    assert jnp.max(jnp.abs(g.L[100] - gs.L[100])) < 1e-2
+    assert jnp.max(jnp.abs(K[-1] - Ks[-1])) < 1e-4
