@@ -52,7 +52,7 @@ class MCMC:
                  num_samples: int = 1000, num_chains: int = 1,
                  max_depth: int = 10, target_accept: float = 0.8,
                  init_jitter: float = 0.2, thinning: int = 1,
-                 progress: bool = False):
+                 progress: bool = False, chunk_steps: int = 64):
         self.model = model
         self.num_warmup = num_warmup
         self.num_samples = num_samples
@@ -61,11 +61,18 @@ class MCMC:
         self.target_accept = target_accept
         self.init_jitter = init_jitter
         self.thinning = thinning
+        self.progress = progress
+        # steps per device launch: the run is segmented into fixed-size
+        # compiled chunks (one compile, reused) instead of one monolithic
+        # program - a multi-hour single XLA execution cannot report
+        # progress, cannot be checkpointed, and trips infrastructure
+        # watchdogs on remote-attached accelerators
+        self.chunk_steps = max(1, int(chunk_steps))
         self._samples_u = None
         self._extra = None
 
-    # --- single chain program ---
-    def _single_chain(self, rng_key, z0, in_window, window_end):
+    # --- chain programs ---
+    def _init_chain(self, rng_key, z0):
         potential = self.model.potential
         zdim = z0.shape[0]
 
@@ -76,7 +83,7 @@ class MCMC:
         step0 = adapt.find_reasonable_step_size(
             potential, inv_mass0, z0, pe0, grad0, key_ss)
 
-        state = ChainState(
+        return ChainState(
             z=z0, pe=pe0, grad=grad0,
             step_size=step0, inv_mass=inv_mass0,
             da=adapt.da_init(step0),
@@ -84,8 +91,13 @@ class MCMC:
             rng_key=key_run,
         )
 
-        # ONE scan over warmup + sampling steps (adaptation gated by flags)
-        # so the large NUTS graph is compiled exactly once.
+    def _run_chunk(self, state: ChainState, flags):
+        """Scan a fixed-size chunk of warmup/sampling steps (adaptation
+        gated by per-step flags), so the NUTS graph compiles exactly once
+        and is re-launched per chunk."""
+        potential = self.model.potential
+        zdim = state.z.shape[0]
+
         def step_fn(state: ChainState, inp):
             is_warmup, in_win, win_end, freeze = inp
             key, sub = random.split(state.rng_key)
@@ -128,30 +140,31 @@ class MCMC:
                    info.tree_depth, pe)
             return new_state, out
 
-        total = self.num_warmup + self.num_samples * self.thinning
-        is_warmup = jnp.arange(total) < self.num_warmup
-        freeze = jnp.arange(total) == (self.num_warmup - 1)
-        pad = jnp.zeros(total - self.num_warmup, dtype=bool)
-        in_win = jnp.concatenate([in_window, pad])
-        win_end = jnp.concatenate([window_end, pad])
-
-        state, (zs, accept, div, steps, depth, pes) = lax.scan(
-            step_fn, state, (is_warmup, in_win, win_end, freeze))
-
-        sel = slice(self.num_warmup + self.thinning - 1, None, self.thinning)
-        zs, accept, div, steps, depth, pes = (
-            zs[sel], accept[sel], div[sel], steps[sel], depth[sel], pes[sel])
-
-        extra = dict(accept_prob=accept, diverging=div, num_steps=steps,
-                     tree_depth=depth, potential_energy=pes,
-                     step_size=state.step_size, inv_mass=state.inv_mass)
-        return zs, extra
+        return lax.scan(step_fn, state, flags)
 
     def run(self, rng_key):
-        """Run all chains; returns self for chaining."""
+        """Run all chains; returns self for chaining.
+
+        The run executes as ``ceil(total / chunk_steps)`` device launches of
+        one compiled chunk program (plus one init program); per-chunk
+        results stream back to host and are concatenated at the end.
+        """
+        import numpy as np
+
+        total = self.num_warmup + self.num_samples * self.thinning
+        chunk = min(self.chunk_steps, total)
+        n_chunks = -(-total // chunk)
+        padded = n_chunks * chunk
+
         in_window, window_end = adapt.build_schedule(self.num_warmup)
-        in_window = jnp.asarray(in_window)
-        window_end = jnp.asarray(window_end)
+        is_warmup = np.arange(padded) < self.num_warmup
+        freeze = np.arange(padded) == (self.num_warmup - 1)
+        in_win = np.zeros(padded, dtype=bool)
+        in_win[:self.num_warmup] = np.asarray(in_window)
+        win_end = np.zeros(padded, dtype=bool)
+        win_end[:self.num_warmup] = np.asarray(window_end)
+        flags = jnp.asarray(
+            np.stack([is_warmup, in_win, win_end, freeze], axis=1))
 
         u0 = self.model.init_unconstrained()
         keys = random.split(rng_key, self.num_chains + 1)
@@ -159,12 +172,38 @@ class MCMC:
             keys[0], (self.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
         z0 = u0[None, :] + jitter
 
-        run_fn = jax.jit(jax.vmap(
-            lambda k, z: self._single_chain(k, z, in_window, window_end)))
-        zs, extra = run_fn(keys[1:], z0)
+        init_fn = jax.jit(jax.vmap(self._init_chain))
+        chunk_fn = jax.jit(jax.vmap(self._run_chunk, in_axes=(0, None)))
+
+        state = init_fn(keys[1:], z0)
+        outs = []
+        for c in range(n_chunks):
+            fl = flags[c * chunk:(c + 1) * chunk]
+            state, out = chunk_fn(
+                state, (fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3]))
+            outs.append(out)
+            if self.progress:
+                done = min((c + 1) * chunk, total)
+                acc = float(jnp.mean(out[1]))
+                print(f"[mcmc] step {done}/{total} "
+                      f"({'warmup' if done <= self.num_warmup else 'sample'})"
+                      f" accept={acc:.2f}", flush=True)
+
+        # concat chunk outputs along the draw axis (axis 1: chains lead)
+        zs, accept, div, steps, depth, pes = (
+            jnp.concatenate([o[i] for o in outs], axis=1)[:, :total]
+            for i in range(6))
+
+        sel = slice(self.num_warmup + self.thinning - 1, None, self.thinning)
+        zs, accept, div, steps, depth, pes = (
+            a[:, sel] for a in (zs, accept, div, steps, depth, pes))
 
         self._samples_u = zs  # (chains, draws, zdim)
-        self._extra = extra
+        self._extra = dict(accept_prob=accept, diverging=div,
+                           num_steps=steps, tree_depth=depth,
+                           potential_energy=pes,
+                           step_size=state.step_size,
+                           inv_mass=state.inv_mass)
         return self
 
     # --- results ---

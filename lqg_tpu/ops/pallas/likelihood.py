@@ -21,9 +21,10 @@ This module keeps the WHOLE conditioned/marginalized recursion on-chip:
   stored by the forward pass, so ``jax.value_and_grad`` of the likelihood is
   also a fused kernel instead of an XLA scan chain.
 
-Scope: joint dim ``j <= 8``, observed dim ``d <= 3``, float32 - every
-shipped tracking model at dim=1 fits; larger models fall back to the XLA
-path automatically (see ``fused_ll_available``).
+Scope: joint dim ``j <= 12``, observed dim ``d <= 4``, float32 - every
+shipped tracking model at dim=1 and dim=2 fits; deeper models (delay
+registers) fall back to the XLA path automatically (see
+``fused_ll_available``).
 """
 
 from __future__ import annotations
@@ -47,9 +48,9 @@ _LOG_2PI = math.log(2.0 * math.pi)
 
 
 def _sym_inv_det(A, eps):
-    """(inverse, determinant) of a symmetric PD matrix, d <= 3."""
+    """(inverse, determinant) of a symmetric PD matrix, d <= 4."""
     rows, n, m = A
-    assert n == m <= 3
+    assert n == m <= 4
     if n == 1:
         det = rows[0]
         return _mat([pl.reciprocal(det + eps, approx=False)], 1, 1), det
@@ -58,18 +59,41 @@ def _sym_inv_det(A, eps):
         det = a * dd - b * b
         inv = pl.reciprocal(det + eps, approx=False)
         return _mat([dd * inv, -b * inv, -b * inv, a * inv], 2, 2), det
-    a, b, c, _, e, f, _, _, i = rows
-    A11 = e * i - f * f
-    A12 = c * f - b * i
-    A13 = b * f - c * e
-    det = a * A11 + b * A12 + c * A13
-    inv = pl.reciprocal(det + eps, approx=False)
-    A22 = a * i - c * c
-    A23 = b * c - a * f
-    A33 = a * e - b * b
-    return _mat([A11 * inv, A12 * inv, A13 * inv,
-                 A12 * inv, A22 * inv, A23 * inv,
-                 A13 * inv, A23 * inv, A33 * inv], 3, 3), det
+    if n == 3:
+        a, b, c, _, e, f, _, _, i = rows
+        A11 = e * i - f * f
+        A12 = c * f - b * i
+        A13 = b * f - c * e
+        det = a * A11 + b * A12 + c * A13
+        inv = pl.reciprocal(det + eps, approx=False)
+        A22 = a * i - c * c
+        A23 = b * c - a * f
+        A33 = a * e - b * b
+        return _mat([A11 * inv, A12 * inv, A13 * inv,
+                     A12 * inv, A22 * inv, A23 * inv,
+                     A13 * inv, A23 * inv, A33 * inv], 3, 3), det
+    # n = 4: blockwise Schur-complement inverse on 2x2 blocks
+    # [[A, B], [B^T, C]]^-1 = [[Ai + Ai B Si B^T Ai, -Ai B Si],
+    #                          [-Si B^T Ai,           Si       ]]
+    # det = det(A) det(S),  S = C - B^T Ai B
+    Ab = _mat([_idx(A, r, k) for r in range(2) for k in range(2)], 2, 2)
+    Bb = _mat([_idx(A, r, k + 2) for r in range(2) for k in range(2)], 2, 2)
+    Cb = _mat([_idx(A, r + 2, k + 2) for r in range(2) for k in range(2)],
+              2, 2)
+    Ai, detA = _sym_inv_det(Ab, eps)
+    AiB = _matmul(Ai, Bb)
+    S = _sym(_sub(Cb, _matmul(_transpose(Bb), AiB)))
+    Si, detS = _sym_inv_det(S, eps)
+    TL = _add(Ai, _matmul(AiB, _matmul(Si, _transpose(AiB))))
+    TR = _neg(_matmul(AiB, Si))
+    out = [None] * 16
+    for r in range(2):
+        for k in range(2):
+            out[r * 4 + k] = _idx(TL, r, k)
+            out[r * 4 + (k + 2)] = _idx(TR, r, k)
+            out[(r + 2) * 4 + k] = _idx(TR, k, r)  # (-Si B^T Ai) = TR^T
+            out[(r + 2) * 4 + (k + 2)] = _idx(Si, r, k)
+    return _mat(out, 4, 4), detA * detS
 
 
 def _scale(M, s):
@@ -393,7 +417,10 @@ def _rows_c(x, r, Lp):
 
 
 def fused_ll_available(j: int, d: int, dtype) -> bool:
-    return j <= 8 and d <= 3 and dtype == jnp.float32
+    """Kernel scope: covers every dim=1 tracking model (j <= 5, d <= 2) and
+    the dim=2 family (SubjectiveActor dim=2: j = 10, d = 4); the deep
+    delay-register models (j ~ 26-65) fall back to the XLA scan."""
+    return j <= 12 and d <= 4 and dtype == jnp.float32
 
 
 @functools.partial(jax.jit, static_argnames=())

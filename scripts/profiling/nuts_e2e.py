@@ -46,7 +46,7 @@ def main():
 
     prob = lifted_model(x, BoundedActor)  # T is derived from x
     mcmc = MCMC(prob, num_warmup=args.warmup, num_samples=args.samples,
-                num_chains=args.chains)
+                num_chains=args.chains, progress=True)
 
     # compile (1 warmup + 1 sample; same graph shape as the full run would
     # re-specialize on lengths, so time the full run cold vs warm instead)

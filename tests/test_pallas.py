@@ -232,6 +232,29 @@ def test_fused_ll_end_to_end_param_grad():
 def test_fused_ll_availability():
     assert fused_ll_available(4, 2, jnp.float32)
     assert fused_ll_available(8, 3, jnp.float32)
-    assert not fused_ll_available(9, 2, jnp.float32)    # j too large
-    assert not fused_ll_available(4, 4, jnp.float32)    # d too large
+    assert fused_ll_available(10, 4, jnp.float32)       # dim=2 subjective
+    assert not fused_ll_available(13, 2, jnp.float32)   # j too large
+    assert not fused_ll_available(4, 5, jnp.float32)    # d too large
     assert not fused_ll_available(4, 2, jnp.float64)    # wrong dtype
+
+
+def test_fused_ll_dim2_scope():
+    """Extended kernel scope: dim=2 models (j=10, d=4) value + grad parity."""
+    T = 32
+    m = SubjectiveActor(T=T, dim=2)
+    assert fused_ll_available(m.xdim + m.bdim, m.xdim, jnp.float32)
+    x = m.simulate(random.PRNGKey(0), n=2)
+
+    ll_scan = m.log_likelihood(x, method="scan")
+    ll_fused = m.log_likelihood(x, method="fused")
+    np.testing.assert_allclose(np.asarray(ll_fused), np.asarray(ll_scan),
+                               rtol=2e-4, atol=2e-3)
+
+    def nll(p, method):
+        mm = SubjectiveActor(T=T, dim=2, subj_noise=p)
+        return -mm.log_likelihood(x, method=method).sum()
+
+    g_f = jax.grad(lambda p: nll(p, "fused"))(0.8)
+    g_s = jax.grad(lambda p: nll(p, "scan"))(0.8)
+    np.testing.assert_allclose(float(g_f), float(g_s), rtol=1e-3)
+
