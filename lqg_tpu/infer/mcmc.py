@@ -142,12 +142,18 @@ class MCMC:
 
         return lax.scan(step_fn, state, flags)
 
-    def run(self, rng_key):
+    def run(self, rng_key, checkpoint_path: Optional[str] = None):
         """Run all chains; returns self for chaining.
 
         The run executes as ``ceil(total / chunk_steps)`` device launches of
         one compiled chunk program (plus one init program); per-chunk
         results stream back to host and are concatenated at the end.
+
+        Args:
+            checkpoint_path: if given, the full in-flight run state (chain
+                states + accumulated draws) is written there after every
+                chunk, and an existing compatible checkpoint at that path is
+                resumed from instead of starting over.
         """
         import numpy as np
 
@@ -177,11 +183,22 @@ class MCMC:
 
         state = init_fn(keys[1:], z0)
         outs = []
-        for c in range(n_chunks):
+        start_chunk = 0
+        if checkpoint_path is not None:
+            resumed = self._load_run_checkpoint(checkpoint_path, state)
+            if resumed is not None:
+                state, outs, start_chunk = resumed
+                if self.progress:
+                    print(f"[mcmc] resumed at step {start_chunk * chunk}"
+                          f"/{total} from {checkpoint_path}", flush=True)
+
+        for c in range(start_chunk, n_chunks):
             fl = flags[c * chunk:(c + 1) * chunk]
             state, out = chunk_fn(
                 state, (fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3]))
             outs.append(out)
+            if checkpoint_path is not None:
+                self._save_run_checkpoint(checkpoint_path, state, outs, c + 1)
             if self.progress:
                 done = min((c + 1) * chunk, total)
                 acc = float(jnp.mean(out[1]))
@@ -205,6 +222,48 @@ class MCMC:
                            step_size=state.step_size,
                            inv_mass=state.inv_mass)
         return self
+
+    # --- in-flight run checkpointing ---
+    def _ckpt_config(self):
+        return np.array([self.num_warmup, self.num_samples, self.num_chains,
+                         self.thinning, self.chunk_steps])
+
+    def _save_run_checkpoint(self, path, state, outs, chunks_done):
+        import os
+        import tempfile
+
+        leaves = jax.tree_util.tree_leaves(state)
+        payload = {"config": self._ckpt_config(),
+                   "chunks_done": np.array(chunks_done)}
+        for i, leaf in enumerate(leaves):
+            payload[f"state_{i}"] = np.asarray(leaf)
+        for i in range(6):
+            payload[f"out_{i}"] = np.asarray(
+                jnp.concatenate([o[i] for o in outs], axis=1))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # atomic replace so a mid-write kill cannot corrupt the checkpoint
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".npz")
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+
+    def _load_run_checkpoint(self, path, state_template):
+        import os
+
+        if not os.path.exists(path):
+            return None
+        data = np.load(path, allow_pickle=False)
+        if not np.array_equal(data["config"], self._ckpt_config()):
+            raise ValueError(
+                f"checkpoint at {path} was written with a different MCMC "
+                f"configuration: {data['config']} vs {self._ckpt_config()}")
+        leaves, treedef = jax.tree_util.tree_flatten(state_template)
+        new_leaves = [jnp.asarray(data[f"state_{i}"]).astype(l.dtype)
+                      for i, l in enumerate(leaves)]
+        state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        outs = [tuple(jnp.asarray(data[f"out_{i}"]) for i in range(6))]
+        return state, outs, int(data["chunks_done"])
 
     # --- results ---
     def get_samples(self, group_by_chain: bool = False) -> dict:

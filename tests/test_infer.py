@@ -242,3 +242,58 @@ def test_diagnostics_sane():
 
     df = summary({"x": iid})
     assert {"mean", "sd", "n_eff", "r_hat"} <= set(df.columns)
+
+
+def test_mcmc_run_checkpoint_resume(tmp_path):
+    """A run interrupted after one chunk resumes to the identical result."""
+    import numpy as np
+    import jax
+    from jax import random
+    from lqg_tpu.infer.mcmc import MCMC
+    from lqg_tpu.infer.models import lifted_model
+    from lqg_tpu.models import BoundedActor
+
+    m = BoundedActor(T=80)
+    x = m.simulate(random.PRNGKey(0), n=5)
+    prob = lifted_model(x, BoundedActor)
+
+    kwargs = dict(num_warmup=16, num_samples=16, num_chains=2,
+                  max_depth=5, chunk_steps=8)
+    key = random.PRNGKey(1)
+
+    # uninterrupted reference run
+    ref = MCMC(prob, **kwargs).run(key)
+
+    # interrupted run: execute exactly one chunk by hand, checkpoint it
+    path = str(tmp_path / "run.npz")
+    mc = MCMC(prob, **kwargs)
+    total = kwargs["num_warmup"] + kwargs["num_samples"]
+    flags_full = np.zeros((total, 4), dtype=bool)
+    # rebuild the same flag schedule run() uses
+    from lqg_tpu.infer import adaptation as adapt
+    in_w, w_end = adapt.build_schedule(kwargs["num_warmup"])
+    flags_full[:kwargs["num_warmup"], 1] = np.asarray(in_w)
+    flags_full[:kwargs["num_warmup"], 2] = np.asarray(w_end)
+    flags_full[:, 0] = np.arange(total) < kwargs["num_warmup"]
+    flags_full[:, 3] = np.arange(total) == kwargs["num_warmup"] - 1
+
+    u0 = prob.init_unconstrained()
+    keys = random.split(key, kwargs["num_chains"] + 1)
+    jitter = mc.init_jitter * random.uniform(
+        keys[0], (kwargs["num_chains"], u0.shape[0]), minval=-1.0, maxval=1.0)
+    z0 = u0[None, :] + jitter
+    state = jax.vmap(mc._init_chain)(keys[1:], z0)
+    fl = jnp.asarray(flags_full[:8])
+    state, out = jax.vmap(mc._run_chunk, in_axes=(0, None))(
+        state, (fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3]))
+    mc._save_run_checkpoint(path, state, [out], 1)
+
+    # resume from the checkpoint; must equal the uninterrupted run
+    resumed = MCMC(prob, **kwargs).run(key, checkpoint_path=path)
+    np.testing.assert_allclose(np.asarray(resumed._samples_u),
+                               np.asarray(ref._samples_u), atol=1e-6)
+
+    # incompatible config is rejected
+    bad = MCMC(prob, **{**kwargs, "num_samples": 32})
+    with pytest.raises(ValueError):
+        bad.run(key, checkpoint_path=path)
