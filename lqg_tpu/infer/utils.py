@@ -20,7 +20,7 @@ from lqg_tpu.infer.svi import fit_auto_mvn
 def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
           process_noise=1.0, dt=1.0 / 60, method="nuts", progress_bar=True,
           num_chains=1, seed=0, max_depth=10, neutra_steps=5000,
-          neutra_guide="iaf", **fixed) -> MCMC:
+          neutra_guide="iaf", checkpoint_path=None, **fixed) -> MCMC:
     """Sample the posterior over model parameters given trajectories ``x``.
 
     Args:
@@ -37,6 +37,8 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
             :func:`lqg_tpu.infer.flows.fit_auto_iaf`) or ``"mvn"``
             (full-rank Gaussian).
         num_chains: chains, vmapped on-device.
+        checkpoint_path: persist the in-flight run there after every chunk
+            and resume a compatible checkpoint (see :meth:`MCMC.run`).
 
     Returns:
         a run :class:`MCMC` object (``get_samples``, ``summary``...).
@@ -68,7 +70,7 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
     mcmc = MCMC(prob_model, num_warmup=num_warmup, num_samples=num_samples,
                 num_chains=num_chains, max_depth=max_depth,
                 progress=progress_bar)
-    mcmc.run(random.PRNGKey(seed))
+    mcmc.run(random.PRNGKey(seed), checkpoint_path=checkpoint_path)
     return mcmc
 
 

@@ -35,6 +35,9 @@ def parse_args(args=None):
                         help="Directory containing data.mat")
     parser.add_argument("--out", type=str, default="data/processed",
                         help="Output directory for the netcdf posterior")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Checkpoint the in-flight run here (and resume "
+                             "from it if present)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (cpu/tpu)")
     parser.add_argument(
@@ -71,8 +74,9 @@ if __name__ == "__main__":
 
     prob_model = shared_params_lqg_model(data, Model, shared_params=shared)
     mcmc = MCMC(prob_model, num_warmup=args.nburnin,
-                num_samples=args.nsamp, num_chains=args.nchain)
-    mcmc.run(random.PRNGKey(args.seed))
+                num_samples=args.nsamp, num_chains=args.nchain,
+                progress=True)
+    mcmc.run(random.PRNGKey(args.seed), checkpoint_path=args.checkpoint)
     mcmc.print_summary()
 
     out_path = os.path.join(args.out, f"{args.model}-{args.seed}.nc")

@@ -37,6 +37,9 @@ def parse_args():
     parser.add_argument("--plot", action=argparse.BooleanOptionalAction,
                         default=True)
     parser.add_argument("--save", action=argparse.BooleanOptionalAction)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Checkpoint the in-flight run here (and resume "
+                             "from it if present)")
     return parser.parse_args()
 
 
@@ -71,7 +74,8 @@ if __name__ == "__main__":
         plt.show()
 
     mcmc = infer(x, num_samples=args.nsamp, num_warmup=args.nwarmup,
-                 model=Model, num_chains=args.nchain, seed=args.seed)
+                 model=Model, num_chains=args.nchain, seed=args.seed,
+                 checkpoint_path=args.checkpoint)
     summary = mcmc.print_summary()
 
     if args.plot:
