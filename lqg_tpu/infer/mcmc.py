@@ -3,10 +3,12 @@
 Replaces the reference's NumPyro ``MCMC(NUTS(...))`` stack
 (``lqg/infer/utils.py:14-39``) with a native, fully jittable driver:
 
-* the whole run (warmup adaptation + sampling) is ONE compiled program per
-  chain, ``vmap``-ed over chains - chains are a batch axis, not processes
-  (the reference dispatches chains over host devices,
-  ``numpyro.set_host_device_count(4)`` at ``main.py:8``);
+* warmup adaptation + sampling compile to ONE chunk program (adaptation
+  gated by per-step flags) that is re-launched in fixed-size segments, with
+  chains ``vmap``-ed as a batch axis, not processes (the reference
+  dispatches chains over host devices, ``numpyro.set_host_device_count(4)``
+  at ``main.py:8``); segmenting gives progress, in-flight checkpointing,
+  and bounded per-launch device time;
 * on a device mesh, chains shard over devices via ``jax.sharding`` (see
   :mod:`lqg_tpu.parallel`).
 """
