@@ -144,7 +144,8 @@ class MCMC:
 
         return lax.scan(step_fn, state, flags)
 
-    def run(self, rng_key, checkpoint_path: Optional[str] = None):
+    def run(self, rng_key, checkpoint_path: Optional[str] = None,
+            chain_sharding=None):
         """Run all chains; returns self for chaining.
 
         The run executes as ``ceil(total / chunk_steps)`` device launches of
@@ -156,6 +157,11 @@ class MCMC:
                 states + accumulated draws) is written there after every
                 chunk, and an existing compatible checkpoint at that path is
                 resumed from instead of starting over.
+            chain_sharding: optional ``jax.sharding.Sharding`` for the chain
+                axis; per-chain keys and initial positions are placed with
+                it, so XLA partitions the whole warmup+sampling program SPMD
+                over the mesh (used by
+                :func:`lqg_tpu.parallel.sharding.sharded_chains_run`).
         """
         import numpy as np
 
@@ -180,10 +186,15 @@ class MCMC:
             keys[0], (self.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
         z0 = u0[None, :] + jitter
 
+        chain_keys = keys[1:]
+        if chain_sharding is not None:
+            chain_keys = jax.device_put(chain_keys, chain_sharding)
+            z0 = jax.device_put(z0, chain_sharding)
+
         init_fn = jax.jit(jax.vmap(self._init_chain))
         chunk_fn = jax.jit(jax.vmap(self._run_chunk, in_axes=(0, None)))
 
-        state = init_fn(keys[1:], z0)
+        state = init_fn(chain_keys, z0)
         outs = []
         start_chunk = 0
         if checkpoint_path is not None:

@@ -53,32 +53,11 @@ def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains"):
 
     Chains are a vmapped batch axis; placing the per-chain keys and initial
     positions with a chain-sharded layout makes XLA partition the whole
-    warmup+sampling program SPMD across devices.
+    segmented warmup+sampling program (every chunk launch) SPMD across
+    devices.  ``mcmc.num_chains`` must divide by the mesh axis size.
     """
-    from jax import random
-    from lqg_tpu.infer import adaptation as adapt
-
-    in_window, window_end = adapt.build_schedule(mcmc.num_warmup)
-    in_window = jnp.asarray(in_window)
-    window_end = jnp.asarray(window_end)
-
-    u0 = mcmc.model.init_unconstrained()
-    keys = random.split(rng_key, mcmc.num_chains + 1)
-    jitter = mcmc.init_jitter * random.uniform(
-        keys[0], (mcmc.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
-    z0 = u0[None, :] + jitter
-
-    chain_sharding = NamedSharding(mesh, P(axis))
-    chain_keys = jax.device_put(keys[1:], chain_sharding)
-    z0 = jax.device_put(z0, chain_sharding)
-
-    run_fn = jax.jit(jax.vmap(
-        lambda k, z: mcmc._single_chain(k, z, in_window, window_end)))
-    zs, extra = run_fn(chain_keys, z0)
-
-    mcmc._samples_u = zs
-    mcmc._extra = extra
-    return mcmc
+    return mcmc.run(rng_key,
+                    chain_sharding=NamedSharding(mesh, P(axis)))
 
 
 def sequence_parallel_log_likelihood(system, x, mesh: Mesh, axis: str = "sp"):

@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-dominated (many small jitted graphs per test file);
+# a persistent compilation cache makes repeat runs fast.
+os.makedirs("/root/.cache/jax_lqg_tests", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_lqg_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
