@@ -56,7 +56,7 @@ def main():
     x = model.simulate(random.PRNGKey(0), n=N_TRIALS)[..., :2]
 
     def nll(c, method):
-        m = DelayedSubjectiveActor(T=T, action_cost=c)
+        m = DelayedSubjectiveActor(T=T, c=c)
         return -m.log_likelihood(x, method=method).sum()
 
     v_scan = nll(jnp.float32(0.5), "scan")
