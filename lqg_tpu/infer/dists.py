@@ -47,6 +47,13 @@ class Distribution:
     def sample_with_shape(self, key, shape):
         return self.sample(key, shape)
 
+    @property
+    def median(self):
+        """Closed-form median; NUTS/SVI initialize here (robustness parity
+        with the reference's ``init_to_median``,
+        ``lqg/infer/utils.py:18``)."""
+        raise NotImplementedError
+
 
 @_register
 @dataclass(frozen=True)
@@ -65,6 +72,10 @@ class Normal(Distribution):
 
     @property
     def mean(self):
+        return self.loc
+
+    @property
+    def median(self):
         return self.loc
 
 
@@ -88,6 +99,11 @@ class HalfNormal(Distribution):
     def mean(self):
         return self.scale * math.sqrt(2.0 / math.pi)
 
+    @property
+    def median(self):
+        # sqrt(2) * erfinv(1/2)
+        return self.scale * 0.6744897501960817
+
 
 @_register
 @dataclass(frozen=True)
@@ -109,6 +125,10 @@ class LogNormal(Distribution):
     def mean(self):
         return jnp.exp(self.loc + 0.5 * self.scale**2)
 
+    @property
+    def median(self):
+        return jnp.exp(self.loc)
+
 
 @_register
 @dataclass(frozen=True)
@@ -128,6 +148,10 @@ class Uniform(Distribution):
 
     @property
     def mean(self):
+        return 0.5 * (self.low + self.high)
+
+    @property
+    def median(self):
         return 0.5 * (self.low + self.high)
 
 

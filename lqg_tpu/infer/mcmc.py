@@ -201,6 +201,11 @@ class MCMC:
             resumed = self._load_run_checkpoint(checkpoint_path, state)
             if resumed is not None:
                 state, outs, start_chunk = resumed
+                if chain_sharding is not None:
+                    # restored leaves land on default placement; re-apply the
+                    # chain sharding so resumed runs stay SPMD over the mesh
+                    state = jax.tree.map(
+                        lambda l: jax.device_put(l, chain_sharding), state)
                 if self.progress:
                     print(f"[mcmc] resumed at step {start_chunk * chunk}"
                           f"/{total} from {checkpoint_path}", flush=True)

@@ -142,8 +142,10 @@ def lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
     used_priors = None
     if priors is not None:
         used_priors = {n: priors[n] for n in init if n in priors}
-        # initialize at the prior mean like init_to_median-ish behavior
-        init = {n: (used_priors[n].mean if n in used_priors else init[n])
+        # initialize at the prior MEDIAN (reference ``init_to_median``,
+        # lqg/infer/utils.py:18) - for heavy-tailed priors like
+        # HalfNormal(50) the mean sits far outside the typical set
+        init = {n: (used_priors[n].median if n in used_priors else init[n])
                 for n in init}
 
     return ProbModel(init=init, transforms=transforms,
@@ -197,14 +199,14 @@ def shared_params_lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
 
     for name in shared:
         pr = priors[name]
-        init[name] = pr.mean
+        init[name] = pr.median
         transforms[name] = tfm.positive
         used_priors[name] = pr
     for name in per_cond:
         for c in range(Nc):
             site = f"{name}_{c}"
             pr = priors.get(site, priors[name])
-            init[site] = pr.mean
+            init[site] = pr.median
             transforms[site] = tfm.positive
             used_priors[site] = pr
 

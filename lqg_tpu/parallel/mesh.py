@@ -29,6 +29,11 @@ def distributed_init(coordinator: Optional[str] = None,
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return
+    if coordinator is None:
+        coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS",
+                                     "localhost:12321")
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -47,7 +47,8 @@ def sharded_log_likelihood(model_builder: Callable, x, mesh: Mesh,
     return total_ll
 
 
-def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains"):
+def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains",
+                       checkpoint_path=None):
     """Run an :class:`lqg_tpu.infer.mcmc.MCMC` with chains sharded over a
     mesh axis.
 
@@ -55,9 +56,18 @@ def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains"):
     positions with a chain-sharded layout makes XLA partition the whole
     segmented warmup+sampling program (every chunk launch) SPMD across
     devices.  ``mcmc.num_chains`` must divide by the mesh axis size.
+
+    ``checkpoint_path`` forwards to :meth:`MCMC.run` so long sharded runs
+    get the same in-flight checkpoint/resume as single-device ones.
     """
+    axis_size = mesh.shape[axis]
+    if mcmc.num_chains % axis_size:
+        raise ValueError(
+            f"num_chains={mcmc.num_chains} must divide by mesh axis "
+            f"{axis!r} of size {axis_size}")
     return mcmc.run(rng_key,
-                    chain_sharding=NamedSharding(mesh, P(axis)))
+                    chain_sharding=NamedSharding(mesh, P(axis)),
+                    checkpoint_path=checkpoint_path)
 
 
 def sequence_parallel_log_likelihood(system, x, mesh: Mesh, axis: str = "sp"):

@@ -436,7 +436,12 @@ class LQGDistribution:
     def sample(self, key, sample_shape=()):
         if len(sample_shape) == 0:
             return self.system.simulate(key, n=1, Sigma0=self.Sigma0)[0]
-        return self.system.simulate(key, n=sample_shape[0], Sigma0=self.Sigma0)
+        # honor the FULL sample_shape (n = prod(sample_shape), then reshape)
+        n = 1
+        for s in sample_shape:
+            n *= int(s)
+        x = self.system.simulate(key, n=n, Sigma0=self.Sigma0)
+        return x.reshape(tuple(sample_shape) + x.shape[1:])
 
     def __call__(self, rng_key):
         return self.sample(rng_key)

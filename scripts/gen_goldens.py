@@ -111,6 +111,91 @@ CASES = {
 }
 
 
+# --- real-data (data.mat) hierarchical-fit parity goldens ---
+#
+# The flagship scientific workflow (reference ``cpp_data_fit.py:42-55``)
+# scores the Bonnen et al. dataset under ``shared_params_lqg_model``
+# (``lqg/infer/models.py:67-130``): shared params across the 6 blob-width
+# conditions, per-condition ``sigma_target``.  NumPyro is not installed
+# here, so the posterior itself cannot be regenerated - instead we record
+# the model's per-condition log likelihoods at fixed parameter points and
+# on a parameter grid.  Identical likelihood surface + identical priors
+# (tested separately) => identical posterior.
+#
+# NOTE on the T convention: the reference's ``shared_params_lqg_model``
+# passes ``T=T`` (``models.py:127``) where T is the data length - with
+# T-length matrix stacks that makes ``conditional_moments``'s scan crash
+# (``scan got values with different leading axis sizes``, verified against
+# the actual reference code).  The only working convention - the one its
+# own ``lqg_model`` uses (``models.py:32``) - is ``T = data_len - 1``;
+# these goldens use it, as does ``lqg_tpu.infer.models``.
+
+DATA_FIT_CASES = {
+    # case -> (model class, shared params, per-condition sigma_target)
+    "bounded_data": (
+        "BoundedActor",
+        dict(action_variability=0.5, action_cost=0.3, sigma_cursor=6.0),
+        [2.0, 5.0, 12.0, 22.0, 40.0, 75.0]),
+    "bounded_data_alt": (
+        "BoundedActor",
+        dict(action_variability=0.2, action_cost=1.5, sigma_cursor=2.5),
+        [4.0, 8.0, 15.0, 30.0, 55.0, 90.0]),
+    "subjective_data": (
+        "SubjectiveActor",
+        dict(action_variability=0.5, action_cost=0.3, sigma_cursor=6.0,
+             subj_noise=0.8, subj_vel_noise=1.5),
+        [2.0, 5.0, 12.0, 22.0, 40.0, 75.0]),
+}
+
+# posterior-surface slice: total hierarchical log likelihood on a grid of
+# the shared action_cost (all else at the bounded_data point)
+ACTION_COST_GRID = [0.02, 0.05, 0.1, 0.3, 0.7, 1.5, 3.0, 8.0]
+
+
+def gen_data_fit_goldens(tracking, outdir):
+    from lqg.io import load_tracking_data
+
+    data, bws = load_tracking_data(delay=12, clip=180, subtract_mean=False,
+                                   data_path="/root/reference/data/")
+    Nc, N, T, d = data.shape
+    x = jnp.asarray(data)
+
+    def cond_ll(cls_name, shared, sigma_target_n):
+        cls = getattr(tracking, cls_name)
+        lls = []
+        for c in range(Nc):
+            model = cls(process_noise=1.0, dt=1.0 / 60.0, T=T - 1,
+                        sigma_target=sigma_target_n[c], **shared)
+            lls.append(np.asarray(model.log_likelihood(x[c])))
+        return np.stack(lls)  # (Nc, N)
+
+    payload = {
+        "data_shape": np.array(data.shape),
+        "bws": np.asarray(bws),
+        "data_checksum": np.array([float(np.sum(data)),
+                                   float(np.sum(np.abs(data))),
+                                   float(data[0, 0, 5, 0]),
+                                   float(data[3, 7, 100, 1])]),
+    }
+    for name, (cls_name, shared, st) in DATA_FIT_CASES.items():
+        ll = cond_ll(cls_name, shared, st)
+        payload[f"{name}_ll"] = ll
+        payload[f"{name}_params"] = json.dumps(
+            {"class": cls_name, "shared": shared, "sigma_target": st})
+        print(f"{name}: per-condition ll sums = {ll.sum(axis=1)}")
+
+    _, shared0, st0 = DATA_FIT_CASES["bounded_data"]
+    grid_ll = []
+    for ac in ACTION_COST_GRID:
+        sh = dict(shared0, action_cost=ac)
+        grid_ll.append(cond_ll("BoundedActor", sh, st0).sum())
+    payload["action_cost_grid"] = np.asarray(ACTION_COST_GRID)
+    payload["action_cost_grid_ll"] = np.asarray(grid_ll)
+    print("action_cost grid ll:", np.asarray(grid_ll))
+
+    np.savez(os.path.join(outdir, "data_fit.npz"), **payload)
+
+
 def main():
     _install_reference()
     from lqg import tracking
@@ -152,6 +237,8 @@ def main():
         )
         print(f"{name}: T={model.T} xdim={model.xdim} bdim={model.bdim} "
               f"ll={np.asarray(ll)}")
+
+    gen_data_fit_goldens(tracking, outdir)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,9 @@ def timed(fn, name, *args, reps=REPS):
     @jax.jit
     def run(*a):
         def body(c, _):
-            return c + fn(*a), None
+            # perturb the input with the carry so XLA cannot hoist the
+            # loop-invariant computation out of the reps loop
+            return c + fn(a[0] + 0.0 * c, *a[1:]), None
 
         acc, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
         return acc
