@@ -22,9 +22,11 @@ import time
 import jax
 
 # persistent compilation cache: kernel compiles on this stack go through a
-# slow remote relay (minutes); cache them across processes
-os.makedirs("/root/.cache/jax_lqg", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_lqg")
+# slow remote relay (minutes); cache them across processes.  Keyed by the
+# jax version - entries from an older jaxlib can hard-abort on load.
+_cache = os.path.expanduser(f"~/.cache/jax_lqg-{jax.__version__}")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

@@ -54,7 +54,7 @@ class MCMC:
                  num_samples: int = 1000, num_chains: int = 1,
                  max_depth: int = 10, target_accept: float = 0.8,
                  init_jitter: float = 0.2, thinning: int = 1,
-                 progress: bool = False, chunk_steps: int = 64):
+                 progress: bool = False, chunk_steps: Optional[int] = None):
         self.model = model
         self.num_warmup = num_warmup
         self.num_samples = num_samples
@@ -68,7 +68,13 @@ class MCMC:
         # compiled chunks (one compile, reused) instead of one monolithic
         # program - a multi-hour single XLA execution cannot report
         # progress, cannot be checkpointed, and trips infrastructure
-        # watchdogs on remote-attached accelerators
+        # watchdogs on remote-attached accelerators.  Default: small
+        # launches on TPU (a single early-warmup NUTS step at max_depth=10
+        # can run ~2^depth leapfrogs; multi-step launches were observed to
+        # trip the remote-TPU execution watchdog), larger on CPU where
+        # launches are cheap and there is no watchdog.
+        if chunk_steps is None:
+            chunk_steps = 1 if jax.default_backend() == "tpu" else 64
         self.chunk_steps = max(1, int(chunk_steps))
         self._samples_u = None
         self._extra = None
@@ -246,25 +252,48 @@ class MCMC:
         return np.array([self.num_warmup, self.num_samples, self.num_chains,
                          self.thinning, self.chunk_steps])
 
-    def _save_run_checkpoint(self, path, state, outs, chunks_done):
+    @staticmethod
+    def _chunk_path(path, c):
+        return f"{path}.chunk_{c:05d}.npz"
+
+    @staticmethod
+    def _atomic_savez(path, payload):
         import os
         import tempfile
 
-        leaves = jax.tree_util.tree_leaves(state)
-        payload = {"config": self._ckpt_config(),
-                   "chunks_done": np.array(chunks_done)}
-        for i, leaf in enumerate(leaves):
-            payload[f"state_{i}"] = np.asarray(leaf)
-        for i in range(6):
-            payload[f"out_{i}"] = np.asarray(
-                jnp.concatenate([o[i] for o in outs], axis=1))
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         # atomic replace so a mid-write kill cannot corrupt the checkpoint
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                    suffix=".npz")
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **payload)
         os.replace(tmp, path)
+
+    def _save_run_checkpoint(self, path, state, outs, chunks_done):
+        """Streaming checkpoint: O(1) host I/O per chunk.
+
+        Each chunk's draws are written ONCE to a side file
+        (``{path}.chunk_NNNNN.npz``); only the small chain-state file at
+        ``path`` is atomically replaced every chunk.  (Round 2 re-serialized
+        the full accumulated history per chunk - O(chunks^2) I/O over a
+        long run.)
+        """
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # write any chunk files not yet on disk (normally exactly one)
+        for c in range(chunks_done):
+            cp = self._chunk_path(path, c)
+            if not os.path.exists(cp):
+                self._atomic_savez(
+                    cp, {f"out_{i}": np.asarray(outs[c][i])
+                         for i in range(6)})
+
+        leaves = jax.tree_util.tree_leaves(state)
+        payload = {"config": self._ckpt_config(),
+                   "chunks_done": np.array(chunks_done)}
+        for i, leaf in enumerate(leaves):
+            payload[f"state_{i}"] = np.asarray(leaf)
+        self._atomic_savez(path, payload)
 
     def _load_run_checkpoint(self, path, state_template):
         import os
@@ -280,7 +309,14 @@ class MCMC:
         new_leaves = [jnp.asarray(data[f"state_{i}"]).astype(l.dtype)
                       for i, l in enumerate(leaves)]
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
-        outs = [tuple(jnp.asarray(data[f"out_{i}"]) for i in range(6))]
+        outs = []
+        for c in range(int(data["chunks_done"])):
+            cp = self._chunk_path(path, c)
+            if not os.path.exists(cp):
+                raise ValueError(
+                    f"checkpoint at {path} is missing its chunk file {cp}")
+            cd = np.load(cp, allow_pickle=False)
+            outs.append(tuple(jnp.asarray(cd[f"out_{i}"]) for i in range(6)))
         return state, outs, int(data["chunks_done"])
 
     # --- results ---

@@ -245,9 +245,16 @@ def _ll_fwd_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref, SigS_ref, muS_ref,
 
 
 def _ll_bwd_kernel(F_ref, Q_ref, X_ref, xT_ref, w_ref, SigS_ref, muS_ref,
-                   SigT_ref, muT_ref, Fbar_ref, Qbar_ref,
+                   SigT_ref, muT_ref, Fbar_ref, Qbar_ref, Xbar_ref, xTbar_ref,
                    Sbar_scr, mbar_scr, *, j, d, T, tc, eps):
     """Reverse-mode recursion of :func:`_ll_fwd_kernel`.
+
+    Also emits the DATA cotangent ``Xbar`` (``e = x_t - mu[:d]`` routes
+    ``ebar`` into ``x_t``; the init ``mu_0 = [x_0; 0]`` additionally routes
+    the final ``mubar[:d]`` into ``x_0``; the terminal score routes
+    ``-w S^{-1} e`` into ``x_T``) - so differentiating the likelihood
+    through trajectories (amortized inference, adversarial probes) is exact
+    on the fused path too.
 
     Hand-derived adjoints; notation as in the forward docstring, with
     ``w`` the per-lane output cotangent (d ll).  For each step t (reverse):
@@ -284,10 +291,12 @@ def _ll_bwd_kernel(F_ref, Q_ref, X_ref, xT_ref, w_ref, SigS_ref, muS_ref,
         e = _sub(xT, _block(mu, d, 1))
         Se = _matmul(Sinv, e)
 
-        # ebar = -w Sinv e ; mubar[:d] = -ebar = w Sinv e
+        # ebar = -w Sinv e ; mubar[:d] = -ebar = w Sinv e ; xTbar = ebar
         for i in range(j):
             mbar_scr[i] = w * _idx(Se, i, 0) if i < d \
                 else _zeros_like_tile(w)
+        for i in range(d):
+            xTbar_ref[0, i] = -w * _idx(Se, i, 0)
         # Sinvbar = -(w/2) e e^T ; Sbar = -(w/2) Sinv - Sinv Sinvbar Sinv
         #         = -(w/2) Sinv + (w/2) (Sinv e)(Sinv e)^T
         Sbar = [0.5 * w * (_idx(Se, r, 0) * _idx(Se, k, 0)
@@ -347,6 +356,12 @@ def _ll_bwd_kernel(F_ref, Q_ref, X_ref, xT_ref, w_ref, SigS_ref, muS_ref,
             mu_rows[r] = mu_rows[r] - _idx(ebar, r, 0)
         mubar = _mat(mu_rows, j, 1)
 
+        # data cotangent: xbar_t = ebar (+ mubar_0[:d] at t = 0 via the
+        # init mu_0 = [x_0; 0])
+        is_t0 = jnp.where(t_global == 0, 1.0, 0.0)
+        xrows = [(_idx(ebar, r, 0) + is_t0 * mu_rows[r]) for r in range(d)]
+        _write_t(Xbar_ref, tt, _mat(xrows, d, 1))
+
         # FSbar[:, :d] += Pbar
         fs_rows = list(FSbar[0])
         for r in range(j):
@@ -366,7 +381,6 @@ def _ll_bwd_kernel(F_ref, Q_ref, X_ref, xT_ref, w_ref, SigS_ref, muS_ref,
         Sigmabar = _mat(sg_rows, j, j)
 
         # t = 0: Sigma_0 = Q_0, so the carry cotangent folds into Qbar_0
-        is_t0 = jnp.where(t_global == 0, 1.0, 0.0)
         Qbar = _add(Qbar, _scale(_sym(Sigmabar), is_t0))
 
         _write_t(Fbar_ref, tt, Fbar)
@@ -536,16 +550,19 @@ def _ll_bwd_call(stores, llbar):
     w_spec = pl.BlockSpec((1, SUB, LANE), lambda pb, c: (0, pb, 0),
                           memory_space=pltpu.VMEM)
 
-    Fbar, Qbar = pl.pallas_call(
+    Fbar, Qbar, Xbar, xTbar = pl.pallas_call(
         functools.partial(_ll_bwd_kernel, j=j, d=d, T=T, tc=tc, eps=1e-12),
         grid=grid,
         in_specs=[spec_rev(j * j), spec_rev(j * j), spec_rev(d),
                   spec_const(d), w_spec, spec_rev(j * j), spec_rev(j),
                   spec_const(j * j), spec_const(j)],
-        out_specs=(spec_rev(j * j), spec_rev(j * j)),
+        out_specs=(spec_rev(j * j), spec_rev(j * j), spec_rev(d),
+                   spec_const(d)),
         out_shape=(
             jax.ShapeDtypeStruct((T, j * j, Lp // LANE, LANE), dtype),
             jax.ShapeDtypeStruct((T, j * j, Lp // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((T, d, Lp // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((1, d, Lp // LANE, LANE), dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((j * j, SUB, LANE), dtype),
@@ -560,7 +577,15 @@ def _ll_bwd_call(stores, llbar):
         out = jnp.moveaxis(flat, -1, 0).reshape(P, n, T, j, j)
         return out.sum(axis=1)  # sum trial adjoints per parameter set
 
-    return unrows(Fbar), unrows(Qbar)
+    def unrows_x(x):
+        # (t, d, Lp/LANE, LANE) -> (P, n, t, d); per-trial, NOT summed
+        t = x.shape[0]
+        flat = x.reshape(t, d, Lp)[..., :lanes]
+        return jnp.moveaxis(flat, -1, 0).reshape(P, n, t, d)
+
+    # (P, n, T+1, d): per-step cotangents for x_0..x_{T-1} then x_T
+    Xbar_full = jnp.concatenate([unrows_x(Xbar), unrows_x(xTbar)], axis=2)
+    return unrows(Fbar), unrows(Qbar), Xbar_full
 
 
 # --- custom vmap: fold mapped axes into the kernel's P (lane) axis ---
@@ -615,9 +640,9 @@ _bwd_cv = jax.custom_batching.custom_vmap(_ll_grads)
 @_bwd_cv.def_vmap
 def _bwd_cv_rule(axis_size, in_batched, F, Q, X, llbar):
     Ff, Qf, Xf, lf = _fold(axis_size, in_batched, F, Q, X, llbar)
-    Fbar, Qbar = _bwd_cv(Ff, Qf, Xf, lf)
+    Fbar, Qbar, Xbar = _bwd_cv(Ff, Qf, Xf, lf)
     unfold = lambda a: a.reshape((axis_size, -1) + a.shape[1:])
-    return (unfold(Fbar), unfold(Qbar)), (True, True)
+    return (unfold(Fbar), unfold(Qbar), unfold(Xbar)), (True, True, True)
 
 
 @jax.custom_vjp
@@ -644,8 +669,7 @@ def _clf_fwd(F, Q, X):
 
 def _clf_bwd(res, llbar):
     F, Q, X = res
-    Fbar, Qbar = _bwd_cv(F, Q, X, llbar)
-    return Fbar, Qbar, jnp.zeros_like(X)
+    return _bwd_cv(F, Q, X, llbar)
 
 
 conditioned_log_likelihood_fused.defvjp(_clf_fwd, _clf_bwd)

@@ -40,9 +40,12 @@ def sharded_log_likelihood(model_builder: Callable, x, mesh: Mesh,
         ll = jnp.sum(system.log_likelihood(x_shard))
         return jax.lax.psum(ll, axis)
 
-    @jax.jit
+    _ll_jit = jax.jit(_ll)
+
     def total_ll(params):
-        return _ll(params, x_sharded)
+        # the global array is passed as an ARGUMENT (closing over an array
+        # that spans non-addressable devices is illegal multi-process)
+        return _ll_jit(params, x_sharded)
 
     return total_ll
 

@@ -321,10 +321,19 @@ class System:
             from lqg_tpu.ops.pallas.likelihood import fused_ll_available
 
             j = joint.F.shape[-1]
-            fused_ok = (jax.default_backend() == "tpu"
-                        and joint.F.ndim == 3
-                        and fused_ll_available(j, d, joint.F.dtype))
-            method = "fused" if fused_ok else "scan"
+            on_tpu = jax.default_backend() == "tpu"
+            if (on_tpu and joint.F.ndim == 3
+                    and fused_ll_available(j, d, joint.F.dtype)):
+                method = "fused"
+            else:
+                # large-j models (delay registers: j ~ 26-65) exceed the
+                # fused kernel's scope.  Measured on TPU v5e
+                # (docs/perf.md): the compiled sequential scan beats the
+                # associative scan ~4x for j=65 (the O(log T) depth does
+                # not pay for the 2jx2j per-element solves at this j), so
+                # the scan stays the default; use method="pscan" only to
+                # shard very long horizons over a mesh.
+                method = "scan"
         if method == "fused":
             from lqg_tpu.ops.pallas.likelihood import (
                 conditioned_log_likelihood_fused)

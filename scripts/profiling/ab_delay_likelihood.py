@@ -17,11 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
-os.makedirs(os.path.expanduser("~/.cache/jax_lqg"), exist_ok=True)
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_lqg"))
+_cache = os.path.expanduser(f"~/.cache/jax_lqg-{jax.__version__}")
+os.makedirs(_cache, exist_ok=True)
+
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 from jax import lax, random

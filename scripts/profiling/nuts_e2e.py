@@ -17,11 +17,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
-os.makedirs(os.path.expanduser("~/.cache/jax_lqg"), exist_ok=True)
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_lqg"))
+_cache = os.path.expanduser(f"~/.cache/jax_lqg-{jax.__version__}")
+os.makedirs(_cache, exist_ok=True)
+
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from jax import random
 
@@ -37,6 +38,9 @@ def main():
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--time", type=int, default=720)
+    ap.add_argument("--chunk", type=int, default=32,
+                    help="NUTS steps per device launch (long launches trip "
+                         "remote-accelerator watchdogs)")
     args = ap.parse_args()
 
     true = dict(action_cost=0.5, action_variability=0.5,
@@ -46,7 +50,8 @@ def main():
 
     prob = lifted_model(x, BoundedActor)  # T is derived from x
     mcmc = MCMC(prob, num_warmup=args.warmup, num_samples=args.samples,
-                num_chains=args.chains, progress=True)
+                num_chains=args.chains, progress=True,
+                chunk_steps=args.chunk)
 
     # compile (1 warmup + 1 sample; same graph shape as the full run would
     # re-specialize on lengths, so time the full run cold vs warm instead)

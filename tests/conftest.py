@@ -29,18 +29,27 @@ import jax  # noqa: E402
 if _PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-# The suite is compile-dominated (many small jitted graphs per test file);
-# a persistent compilation cache makes repeat runs fast.  Fall back to a
-# tmpdir (or no cache) when the preferred location is not writable.
-for _cache_dir in (os.path.expanduser("~/.cache/jax_lqg_tests"),
-                   os.path.join(tempfile.gettempdir(), "jax_lqg_tests")):
-    try:
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        break
-    except OSError:
-        continue
+# Optional persistent compilation cache (opt in with LQG_TPU_TEST_CACHE=1):
+# the suite is compile-dominated, and a warm cache makes repeat runs ~3x
+# faster - BUT this jaxlib build segfaults nondeterministically in
+# cache-write/compile paths during long runs (observed three times at
+# ~50% of a full-suite run: twice in compilation_cache.put_executable_and_
+# time serializing a sharded executable, once inside backend_compile_and_
+# load under _compile_and_write_cache), so correctness defaults to OFF.
+# The directory is keyed by the jax version: entries serialized by an
+# older jaxlib hard-abort (SIGABRT) on load after an upgrade.
+if os.environ.get("LQG_TPU_TEST_CACHE", "0") == "1":
+    _CACHE_NAME = f"jax_lqg_tests-{jax.__version__}"
+    for _cache_dir in (os.path.expanduser(f"~/.cache/{_CACHE_NAME}"),
+                       os.path.join(tempfile.gettempdir(), _CACHE_NAME)):
+        try:
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+            break
+        except OSError:
+            continue
 
 import pytest  # noqa: E402
 
@@ -54,6 +63,25 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "tpu" in item.keywords:
             item.add_marker(skip_tpu)
+
+
+@pytest.fixture
+def no_compile_cache(monkeypatch):
+    """Disable persistent compilation-cache WRITES for a test.
+
+    Serializing MULTI-DEVICE (sharded) executables into the persistent
+    cache segfaults in this jaxlib build (SIGSEGV inside
+    ``compilation_cache.put_executable_and_time``); sharded tests opt out
+    of caching rather than crash the suite.  Neither clearing the cache
+    dir nor ``jax_enable_compilation_cache=False`` stops writes once the
+    cache object is initialized (verified empirically), so the write entry
+    point itself is stubbed out.
+    """
+    from jax._src import compilation_cache as _cc
+
+    monkeypatch.setattr(_cc, "put_executable_and_time",
+                        lambda *a, **k: None)
+    yield
 
 
 @pytest.fixture

@@ -105,6 +105,7 @@ def test_nuts_constrained_target():
     np.testing.assert_allclose(np.log(s).std(), 0.7, rtol=0.15)
 
 
+@pytest.mark.slow
 def test_mle_recovery():
     """Reference mle.py __main__ recovery demo, as a test."""
     true = dict(action_cost=0.5, action_variability=0.25, sigma_target=8.0,
@@ -119,6 +120,7 @@ def test_mle_recovery():
     np.testing.assert_allclose(float(params["action_cost"]), 0.5, rtol=0.5)
 
 
+@pytest.mark.slow
 def test_infer_end_to_end():
     """Reference test_numpyro_distribution NUTS smoke
     (tests/infer_test.py:47-51)."""
@@ -244,6 +246,7 @@ def test_diagnostics_sane():
     assert {"mean", "sd", "n_eff", "r_hat"} <= set(df.columns)
 
 
+@pytest.mark.slow
 def test_mcmc_run_checkpoint_resume(tmp_path):
     """A run interrupted after one chunk resumes to the identical result."""
     import numpy as np

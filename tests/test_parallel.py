@@ -87,7 +87,7 @@ def test_affine_scan(x64):
                                rtol=1e-8, atol=1e-10)
 
 
-def test_sharded_log_likelihood_matches_local():
+def test_sharded_log_likelihood_matches_local(no_compile_cache):
     mesh = local_mesh(8)
     x = BoundedActor(T=100).simulate(random.PRNGKey(0), n=16)
 
@@ -106,7 +106,8 @@ def test_sharded_log_likelihood_matches_local():
     assert np.isfinite(np.asarray(g))
 
 
-def test_sharded_chains_statistically_correct():
+@pytest.mark.slow
+def test_sharded_chains_statistically_correct(no_compile_cache):
     """Chains sharded over an 8-device mesh stay on-device (one chain per
     device) and sample the correct target.
 
@@ -144,8 +145,11 @@ def test_sharded_chains_statistically_correct():
     assert (df["r_hat"] < 1.05).all()
 
 
-@pytest.mark.parametrize("T,n,d", [(1, 3, 2), (2, 3, 2), (7, 5, 2),
-                                   (64, 4, 2), (200, 2, 2)])
+@pytest.mark.parametrize("T,n,d", [
+    (1, 3, 2), (2, 3, 2), (7, 5, 2),
+    pytest.param(64, 4, 2, marks=pytest.mark.slow),
+    pytest.param(200, 2, 2, marks=pytest.mark.slow),
+])
 def test_pscan_likelihood_matches_sequential(T, n, d, x64):
     """Parallel-in-time conditioned likelihood == sequential kernel path."""
     model = BoundedActor(T=T, action_cost=0.6, sigma_cursor=2.0)
@@ -157,6 +161,7 @@ def test_pscan_likelihood_matches_sequential(T, n, d, x64):
                                rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_pscan_likelihood_subjective_and_delay(x64):
     """pscan likelihood on mismatched-actor and delay-augmented models
     (non-square joint blocks, singular delay dynamics)."""
@@ -170,6 +175,7 @@ def test_pscan_likelihood_subjective_and_delay(x64):
                                    rtol=1e-7, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_pscan_likelihood_gradients_match(x64):
     """Gradients w.r.t. model parameters agree between the two paths (the
     NUTS chain rule goes parameters -> gains -> joint -> likelihood)."""
@@ -185,7 +191,7 @@ def test_pscan_likelihood_gradients_match(x64):
                                rtol=1e-6)
 
 
-def test_pscan_likelihood_sp_sharded(x64):
+def test_pscan_likelihood_sp_sharded(x64, no_compile_cache):
     """The associative-scan likelihood runs with the data (trial axis)
     sharded over the mesh - the compiled program partitions the composes
     and reduces over ICI collectives on real hardware."""
@@ -202,7 +208,7 @@ def test_pscan_likelihood_sp_sharded(x64):
                                rtol=1e-8, atol=1e-8)
 
 
-def test_sequence_parallel_log_likelihood(x64):
+def test_sequence_parallel_log_likelihood(x64, no_compile_cache):
     """Horizon sharded over 8 devices: the associative-scan likelihood
     matches the single-device sequential path."""
     mesh = local_mesh(8, name="sp")

@@ -186,6 +186,7 @@ def test_data_fit_hierarchical_model_parity(data_fit, x64):
                                rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_data_fit_posterior_surface(data_fit, x64):
     """The hierarchical log-likelihood surface over the shared action_cost
     matches the reference pointwise - with identical priors (tested in
