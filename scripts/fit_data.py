@@ -27,6 +27,10 @@ def parse_args(args=None):
     parser.add_argument("--nburnin", type=int, default=1_500,
                         help="Number of burn-in samples.")
     parser.add_argument("--nchain", type=int, default=4)
+    parser.add_argument("--max-depth", type=int, default=10,
+                        help="NUTS maximum tree depth (2^depth leapfrogs "
+                             "worst case; 8 bounds per-step device time on "
+                             "remote-attached TPUs)")
     parser.add_argument("--model", type=str, default="BoundedActor",
                         help="Model type")
     parser.add_argument("--seed", type=int, default=1,
@@ -75,7 +79,7 @@ if __name__ == "__main__":
     prob_model = shared_params_lqg_model(data, Model, shared_params=shared)
     mcmc = MCMC(prob_model, num_warmup=args.nburnin,
                 num_samples=args.nsamp, num_chains=args.nchain,
-                progress=True)
+                max_depth=args.max_depth, progress=True)
     mcmc.run(random.PRNGKey(args.seed), checkpoint_path=args.checkpoint)
     mcmc.print_summary()
 

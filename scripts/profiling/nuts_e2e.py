@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=32,
                     help="NUTS steps per device launch (long launches trip "
                          "remote-accelerator watchdogs)")
+    ap.add_argument("--max-depth", type=int, default=10)
     args = ap.parse_args()
 
     true = dict(action_cost=0.5, action_variability=0.5,
@@ -51,7 +52,7 @@ def main():
     prob = lifted_model(x, BoundedActor)  # T is derived from x
     mcmc = MCMC(prob, num_warmup=args.warmup, num_samples=args.samples,
                 num_chains=args.chains, progress=True,
-                chunk_steps=args.chunk)
+                chunk_steps=args.chunk, max_depth=args.max_depth)
 
     # compile (1 warmup + 1 sample; same graph shape as the full run would
     # re-specialize on lengths, so time the full run cold vs warm instead)

@@ -300,3 +300,45 @@ def test_mcmc_run_checkpoint_resume(tmp_path):
     bad = MCMC(prob, **{**kwargs, "num_samples": 32})
     with pytest.raises(ValueError):
         bad.run(key, checkpoint_path=path)
+
+
+def test_mcmc_chunk_default_backend_aware():
+    """chunk_steps defaults small on TPU (remote-worker watchdog: a single
+    deep-tree NUTS step can run ~2^depth leapfrogs) and large on CPU."""
+    import jax
+    from lqg_tpu.infer.mcmc import MCMC
+    from lqg_tpu.infer.models import lqg_model
+    from lqg_tpu.models import BoundedActor
+    from jax import random
+
+    x = BoundedActor(T=20).simulate(random.PRNGKey(0), n=2)
+    prob = lqg_model(x, BoundedActor)
+    expected = 1 if jax.default_backend() == "tpu" else 64
+    assert MCMC(prob).chunk_steps == expected
+    assert MCMC(prob, chunk_steps=7).chunk_steps == 7
+
+
+def test_gains_vjp_method_toggle():
+    """The sequential-scan VJP escape hatch matches the default associative
+    VJP (both differentiate the same math behind the fused primal)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lqg_tpu.models.basic import tracking_spec
+    from lqg_tpu.ops.linalg import mT
+    from lqg_tpu.ops.pallas import gains as pg
+
+    def loss(c):
+        spec = jax.tree.map(lambda a: a[None],
+                            tracking_spec(1, 1.0, 0.5, 6.0, 3.0, c, 1 / 60))
+        Sigma0 = spec.V @ mT(spec.V)
+        L, H, K = pg.gains_fused(spec, Sigma0, 25)
+        return jnp.sum(L**2) + jnp.sum(K**2)
+
+    try:
+        pg.GAINS_VJP_METHOD = "scan"
+        g_scan = float(jax.grad(loss)(0.6))
+    finally:
+        pg.GAINS_VJP_METHOD = "assoc"
+    g_assoc = float(jax.grad(loss)(0.6))
+    np.testing.assert_allclose(g_scan, g_assoc, rtol=1e-5)
