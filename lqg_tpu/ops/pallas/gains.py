@@ -291,7 +291,7 @@ def _gains_fwd_cv(horizon: int):
 def gains_fused(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     """Differentiable fused gains: Pallas kernel forward, parallel backward.
 
-    The Pallas kernels are forward-only; inference needs gradients of the
+    The Pallas kernel computes the primal only; inference needs gradients of the
     gains w.r.t. the spec (the NUTS/MLE chain rules through
     parameters -> matrices -> gains -> likelihood).  This wrapper runs the
     fused kernel as the primal and computes the VJP through the

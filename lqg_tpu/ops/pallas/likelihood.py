@@ -2,10 +2,12 @@
 
 The inverse-OC likelihood (reference ``lqg/system.py:142-248``) is the #1
 hot path: every NUTS leapfrog and every MLE step evaluates it and its
-gradient.  The XLA implementation (:mod:`lqg_tpu.ops.gaussian`) runs three
-``lax.scan`` s over T; on TPU a T-step scan has a ~25 us/step floor
-(while-loop + per-op dispatch overhead on tiny matrices), so T=1000 costs
-~34 ms forward and ~146 ms for value+grad regardless of arithmetic.
+gradient.  The XLA implementation (:mod:`lqg_tpu.ops.gaussian`) runs
+``lax.scan`` s over T whose per-step cost is bound by the strictly
+sequential chain of tiny (j x j) matrix ops (~20 us/step measured on TPU
+v5e); the fused kernel below runs the same recursion at ~3.5 us/step,
+~4x faster for value+grad at T=1000 (measured: docs/perf.md,
+BENCH_notes_r3.json).
 
 This module keeps the WHOLE conditioned/marginalized recursion on-chip:
 

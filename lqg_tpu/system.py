@@ -301,9 +301,10 @@ class System:
         Fast paths: data-free covariance work once, trials batched into
         matmuls (see :func:`lqg_tpu.ops.gaussian.trial_log_likelihood`); on
         TPU the whole conditioned recursion (and its VJP) runs as one fused
-        Pallas kernel (:mod:`lqg_tpu.ops.pallas.likelihood`) - an XLA
-        T-step scan pays a ~25 us/step dispatch floor that dominates at
-        small state dims.
+        Pallas kernel (:mod:`lqg_tpu.ops.pallas.likelihood`) - measured
+        ~4x faster than the compiled XLA scan for value+grad at T=1000
+        (docs/perf.md), whose per-step cost is bound by the sequential
+        chain of tiny matrix ops.
 
         Args:
             method: ``"auto"`` (fused kernel on TPU when the joint dims fit,
