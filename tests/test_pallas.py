@@ -300,3 +300,22 @@ def test_fused_ll_dim2_scope():
     np.testing.assert_allclose(float(g_f), float(g_s),
                                rtol=5e-3 if ON_TPU else 1e-3)
 
+
+
+def test_fused_ll_prime_horizon():
+    """A prime T forces time_chunk=1 (T chunks of one step each - the grid
+    path the T=719 recovery workload exercises); value and grads stay
+    correct."""
+    T, n = 13, 3
+    m = BoundedActor(T=T)
+    x = m.simulate(random.PRNGKey(5), n=n)
+    ll_f = m.log_likelihood(x, method="fused")
+    ll_s = m.log_likelihood(x, method="scan")
+    np.testing.assert_allclose(np.asarray(ll_f), np.asarray(ll_s),
+                               rtol=2e-4, atol=2e-3)
+
+    g_f = jax.grad(lambda c: -BoundedActor(T=T, action_cost=c)
+                   .log_likelihood(x, method="fused").sum())(jnp.float32(0.6))
+    g_s = jax.grad(lambda c: -BoundedActor(T=T, action_cost=c)
+                   .log_likelihood(x, method="scan").sum())(jnp.float32(0.6))
+    np.testing.assert_allclose(float(g_f), float(g_s), rtol=2e-3)
