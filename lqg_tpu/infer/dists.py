@@ -186,6 +186,12 @@ class MultivariateNormal(Distribution):
     def mean(self):
         return self.loc
 
+    @property
+    def median(self):
+        # symmetric: median == mean (keeps `init at prior.median` working
+        # for models whose priors dict contains an MVN site)
+        return self.loc
+
     def shape(self):
         return self.loc.shape
 
@@ -215,6 +221,10 @@ class GaussianSequence(Distribution):
 
     @property
     def mean(self):
+        return self.loc
+
+    @property
+    def median(self):
         return self.loc
 
     def shape(self):

@@ -207,8 +207,18 @@ class NUTSInfo(NamedTuple):
 
 def nuts_step(potential_fn: Callable, rng_key, z, pe, grad, step_size,
               inv_mass, max_depth: int = 10,
-              max_delta_energy: float = 1000.0):
-    """One NUTS transition.  Returns ``(z', pe', grad', NUTSInfo)``."""
+              max_delta_energy: float = 1000.0, depth_cap=None):
+    """One NUTS transition.  Returns ``(z', pe', grad', NUTSInfo)``.
+
+    ``depth_cap`` may be a *traced* integer <= ``max_depth``: the tree stops
+    doubling at that depth while the compiled program (checkpoint-stack
+    sizes, loop structure) stays fixed by the static ``max_depth``.  The
+    MCMC driver uses this to cap early-warmup trees cheaply (a per-step
+    schedule) without recompiling.
+    """
+    if depth_cap is None:
+        depth_cap = max_depth
+    depth_cap = jnp.minimum(jnp.asarray(depth_cap, jnp.int32), max_depth)
     key_mom, key_tree = random.split(rng_key)
 
     # sample momentum r ~ N(0, M);  M = 1 / inv_mass (diagonal)
@@ -228,7 +238,7 @@ def nuts_step(potential_fn: Callable, rng_key, z, pe, grad, step_size,
     )
 
     def cond(c):
-        return ((c["depth"] < max_depth)
+        return ((c["depth"] < depth_cap)
                 & ~c["turning"] & ~c["diverging"])
 
     def body(c):

@@ -4,17 +4,29 @@ Replaces the reference's NumPyro ``MCMC(NUTS(...))`` stack
 (``lqg/infer/utils.py:14-39``) with a native, fully jittable driver:
 
 * warmup adaptation + sampling compile to ONE chunk program (adaptation
-  gated by per-step flags) that is re-launched in fixed-size segments, with
-  chains ``vmap``-ed as a batch axis, not processes (the reference
-  dispatches chains over host devices, ``numpyro.set_host_device_count(4)``
-  at ``main.py:8``); segmenting gives progress, in-flight checkpointing,
-  and bounded per-launch device time;
+  gated by per-step flags indexed by an on-device step counter) that is
+  re-launched in segments, with chains ``vmap``-ed as a batch axis, not
+  processes (the reference dispatches chains over host devices,
+  ``numpyro.set_host_device_count(4)`` at ``main.py:8``);
+* each launch carries a *leapfrog budget*: the compiled chunk runs up to
+  ``chunk_steps`` NUTS transitions but stops early once the batched
+  leapfrog count (max over chains - vmapped tree loops run to the deepest
+  chain) exceeds ``max_leapfrogs_per_launch``.  This bounds per-launch
+  device time regardless of tree depth (remote-TPU execution watchdogs
+  kill multi-minute launches) while letting shallow-tree phases run many
+  transitions per dispatch - round 3's blanket one-step-per-launch was
+  dispatch-bound at ~1.1 chain-draws/s;
+* early-warmup tree depth is capped by a per-step schedule (traced
+  ``depth_cap`` into :func:`nuts_step`), so a bad initial step size cannot
+  burn ``2^max_depth`` leapfrogs per step while dual averaging is still
+  finding the scale;
 * on a device mesh, chains shard over devices via ``jax.sharding`` (see
   :mod:`lqg_tpu.parallel`).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -48,13 +60,28 @@ class MCMC:
         max_depth: NUTS maximum tree depth.
         target_accept: dual-averaging target acceptance probability.
         thinning: keep every k-th sample.
+        chunk_steps: max NUTS transitions per device launch (one compiled
+            program, re-launched until done).
+        max_leapfrogs_per_launch: stop a launch early once this many
+            batched leapfrogs have run (device-time bound; see module doc).
+        warmup_depth_cap / warmup_depth_cap_steps: cap tree depth at
+            ``warmup_depth_cap`` for the first ``warmup_depth_cap_steps``
+            warmup transitions (adaptation-only; kept draws are never
+            capped below ``max_depth``).
+        checkpoint_every: launches between checkpoint writes when
+            ``checkpoint_path`` is given (default: roughly every 128
+            steps); draws are buffered on host in between.
     """
 
     def __init__(self, model: ProbModel, num_warmup: int = 1000,
                  num_samples: int = 1000, num_chains: int = 1,
                  max_depth: int = 10, target_accept: float = 0.8,
                  init_jitter: float = 0.2, thinning: int = 1,
-                 progress: bool = False, chunk_steps: Optional[int] = None):
+                 progress: bool = False, chunk_steps: Optional[int] = None,
+                 max_leapfrogs_per_launch: Optional[int] = None,
+                 warmup_depth_cap: int = 7,
+                 warmup_depth_cap_steps: int = 75,
+                 checkpoint_every: Optional[int] = None):
         self.model = model
         self.num_warmup = num_warmup
         self.num_samples = num_samples
@@ -64,18 +91,23 @@ class MCMC:
         self.init_jitter = init_jitter
         self.thinning = thinning
         self.progress = progress
-        # steps per device launch: the run is segmented into fixed-size
-        # compiled chunks (one compile, reused) instead of one monolithic
-        # program - a multi-hour single XLA execution cannot report
-        # progress, cannot be checkpointed, and trips infrastructure
-        # watchdogs on remote-attached accelerators.  Default: small
-        # launches on TPU (a single early-warmup NUTS step at max_depth=10
-        # can run ~2^depth leapfrogs; multi-step launches were observed to
-        # trip the remote-TPU execution watchdog), larger on CPU where
-        # launches are cheap and there is no watchdog.
+        on_tpu = jax.default_backend() == "tpu"
+        # Launch sizing: the leapfrog budget (not chunk_steps) is what
+        # bounds device time per launch, so chunk_steps can be generous.
+        # On TPU the budget defaults to 1024 batched leapfrogs (~20 s at
+        # the heaviest shipped model's 17.7 ms value+grad); a single
+        # early-warmup max_depth=10 step could otherwise run 2^10
+        # leapfrogs and multi-step launches of such steps were observed to
+        # trip the remote-TPU watchdog (BENCH_notes_r3.json).
         if chunk_steps is None:
-            chunk_steps = 1 if jax.default_backend() == "tpu" else 64
+            chunk_steps = 32 if on_tpu else 64
         self.chunk_steps = max(1, int(chunk_steps))
+        if max_leapfrogs_per_launch is None:
+            max_leapfrogs_per_launch = 1024 if on_tpu else (1 << 30)
+        self.max_leapfrogs_per_launch = int(max_leapfrogs_per_launch)
+        self.warmup_depth_cap = int(warmup_depth_cap)
+        self.warmup_depth_cap_steps = int(warmup_depth_cap_steps)
+        self.checkpoint_every = checkpoint_every
         self._samples_u = None
         self._extra = None
 
@@ -99,92 +131,141 @@ class MCMC:
             rng_key=key_run,
         )
 
-    def _run_chunk(self, state: ChainState, flags):
-        """Scan a fixed-size chunk of warmup/sampling steps (adaptation
-        gated by per-step flags), so the NUTS graph compiles exactly once
-        and is re-launched per chunk."""
+    def _step_one(self, state: ChainState, inp, depth_cap):
+        """One NUTS transition + adaptation for a single chain.  ``inp``
+        holds the (scalar, shared across chains) warmup-schedule flags."""
         potential = self.model.potential
         zdim = state.z.shape[0]
+        is_warmup, in_win, win_end, freeze = inp
 
-        def step_fn(state: ChainState, inp):
-            is_warmup, in_win, win_end, freeze = inp
-            key, sub = random.split(state.rng_key)
-            z, pe, grad, info = nuts_step(
-                potential, sub, state.z, state.pe, state.grad,
-                state.step_size, state.inv_mass, max_depth=self.max_depth)
+        key, sub = random.split(state.rng_key)
+        z, pe, grad, info = nuts_step(
+            potential, sub, state.z, state.pe, state.grad,
+            state.step_size, state.inv_mass, max_depth=self.max_depth,
+            depth_cap=depth_cap)
 
-            # --- adaptation (warmup only) ---
-            da = adapt.da_update(state.da, info.accept_prob,
-                                 target=self.target_accept)
-            da = jax.tree.map(lambda new, old: jnp.where(is_warmup, new, old),
-                              da, state.da)
-            step_size = jnp.where(is_warmup, jnp.exp(da.log_step),
-                                  state.step_size)
+        # --- adaptation (warmup only) ---
+        da = adapt.da_update(state.da, info.accept_prob,
+                             target=self.target_accept)
+        da = jax.tree.map(lambda new, old: jnp.where(is_warmup, new, old),
+                          da, state.da)
+        step_size = jnp.where(is_warmup, jnp.exp(da.log_step),
+                              state.step_size)
 
-            welford = jax.tree.map(
-                lambda old, new: jnp.where(in_win, new, old),
-                state.welford, adapt.welford_update(state.welford, z))
+        welford = jax.tree.map(
+            lambda old, new: jnp.where(in_win, new, old),
+            state.welford, adapt.welford_update(state.welford, z))
 
-            # close a slow window: adopt the variance as inverse mass,
-            # reset the accumulator and restart dual averaging
-            new_mass = adapt.welford_variance(welford)
-            inv_mass = jnp.where(win_end, new_mass, state.inv_mass)
-            da_reset = adapt.da_init(jnp.exp(da.log_step_avg))
-            da = jax.tree.map(lambda r, c: jnp.where(win_end, r, c),
-                              da_reset, da)
-            welford = jax.tree.map(
-                lambda w, fresh: jnp.where(win_end, fresh, w),
-                welford, adapt.welford_init(zdim))
-            step_size = jnp.where(win_end, jnp.exp(da.log_step), step_size)
+        # close a slow window: adopt the variance as inverse mass,
+        # reset the accumulator and restart dual averaging
+        new_mass = adapt.welford_variance(welford)
+        inv_mass = jnp.where(win_end, new_mass, state.inv_mass)
+        da_reset = adapt.da_init(jnp.exp(da.log_step_avg))
+        da = jax.tree.map(lambda r, c: jnp.where(win_end, r, c),
+                          da_reset, da)
+        welford = jax.tree.map(
+            lambda w, fresh: jnp.where(win_end, fresh, w),
+            welford, adapt.welford_init(zdim))
+        step_size = jnp.where(win_end, jnp.exp(da.log_step), step_size)
 
-            # end of warmup: freeze the dual-averaged step size
-            step_size = jnp.where(freeze, jnp.exp(da.log_step_avg),
-                                  step_size)
+        # end of warmup: freeze the dual-averaged step size
+        step_size = jnp.where(freeze, jnp.exp(da.log_step_avg), step_size)
 
-            new_state = ChainState(z=z, pe=pe, grad=grad,
-                                   step_size=step_size, inv_mass=inv_mass,
-                                   da=da, welford=welford, rng_key=key)
-            out = (z, info.accept_prob, info.diverging, info.num_steps,
-                   info.tree_depth, pe)
-            return new_state, out
+        new_state = ChainState(z=z, pe=pe, grad=grad,
+                               step_size=step_size, inv_mass=inv_mass,
+                               da=da, welford=welford, rng_key=key)
+        out = (z, info.accept_prob, info.diverging, info.num_steps,
+               info.tree_depth, pe)
+        return new_state, out
 
-        return lax.scan(step_fn, state, flags)
+    def _build_schedule(self, total):
+        """Host-side per-step flag and depth-cap arrays for the full run."""
+        in_window, window_end = adapt.build_schedule(self.num_warmup)
+        is_warmup = np.arange(total) < self.num_warmup
+        freeze = np.arange(total) == (self.num_warmup - 1)
+        in_win = np.zeros(total, dtype=bool)
+        in_win[:self.num_warmup] = np.asarray(in_window)
+        win_end = np.zeros(total, dtype=bool)
+        win_end[:self.num_warmup] = np.asarray(window_end)
+        flags = np.stack([is_warmup, in_win, win_end, freeze], axis=1)
+
+        caps = np.full(total, self.max_depth, dtype=np.int32)
+        n_cap = min(self.warmup_depth_cap_steps, self.num_warmup)
+        caps[:n_cap] = min(self.warmup_depth_cap, self.max_depth)
+        return jnp.asarray(flags), jnp.asarray(caps)
+
+    def _make_launch(self, total: int, chunk: int):
+        """Build the (jittable) one-launch program: up to ``chunk``
+        transitions, stopping early at the leapfrog budget or run end."""
+        budget = float(self.max_leapfrogs_per_launch)
+        step_vmapped = jax.vmap(self._step_one, in_axes=(0, None, None))
+
+        def launch(state, idx0, flags, caps):
+            def body(carry, _):
+                state, idx, lf = carry
+                active = (idx < total) & (lf < budget)
+
+                def do(op):
+                    state, idx, lf = op
+                    fl = flags[idx]
+                    new_state, out = step_vmapped(
+                        state, (fl[0], fl[1], fl[2], fl[3]), caps[idx])
+                    # batched device cost per transition ~ deepest chain's
+                    # tree (vmapped while_loops run to the max)
+                    return new_state, idx + 1, lf + jnp.max(out[3]), out
+
+                def skip(op):
+                    state, idx, lf = op
+                    zf = jnp.zeros_like(state.pe)
+                    out = (jnp.zeros_like(state.z), zf,
+                           jnp.zeros(state.pe.shape[0], bool), zf,
+                           jnp.zeros(state.pe.shape[0], jnp.int32), zf)
+                    return state, idx, lf, out
+
+                state, idx, lf, out = lax.cond(active, do, skip,
+                                               (state, idx, lf))
+                return (state, idx, lf), (out, active)
+
+            (state, idx, _), (outs, valid) = lax.scan(
+                body, (state, idx0, jnp.zeros((), jnp.float32)),
+                None, length=chunk)
+            return state, idx, outs, valid
+
+        return jax.jit(launch)
 
     def run(self, rng_key, checkpoint_path: Optional[str] = None,
-            chain_sharding=None):
+            chain_sharding=None, _stop_after_launches: Optional[int] = None):
         """Run all chains; returns self for chaining.
 
-        The run executes as ``ceil(total / chunk_steps)`` device launches of
-        one compiled chunk program (plus one init program); per-chunk
-        results stream back to host and are concatenated at the end.
+        The run executes as a sequence of launches of one compiled chunk
+        program (plus one init program); each launch advances as many NUTS
+        transitions as fit in ``(chunk_steps, max_leapfrogs_per_launch)``
+        and streams its draws back to host.
 
         Args:
-            checkpoint_path: if given, the full in-flight run state (chain
-                states + accumulated draws) is written there after every
-                chunk, and an existing compatible checkpoint at that path is
-                resumed from instead of starting over.
+            checkpoint_path: if given, the in-flight run state is written
+                there every ``checkpoint_every`` launches (draws to
+                nonce-stamped side files, chain state atomically replaced),
+                and an existing compatible checkpoint at that path is
+                resumed from instead of starting over.  Resume is exact:
+                transitions are keyed by a global step index, so launch
+                boundaries (and even a different ``chunk_steps``) do not
+                change the sampled trajectory.
             chain_sharding: optional ``jax.sharding.Sharding`` for the chain
                 axis; per-chain keys and initial positions are placed with
                 it, so XLA partitions the whole warmup+sampling program SPMD
                 over the mesh (used by
                 :func:`lqg_tpu.parallel.sharding.sharded_chains_run`).
+            _stop_after_launches: testing hook - stop (returning ``None``)
+                after this many launches, leaving the checkpoint behind.
         """
-        import numpy as np
-
         total = self.num_warmup + self.num_samples * self.thinning
         chunk = min(self.chunk_steps, total)
-        n_chunks = -(-total // chunk)
-        padded = n_chunks * chunk
+        flags, caps = self._build_schedule(total)
 
-        in_window, window_end = adapt.build_schedule(self.num_warmup)
-        is_warmup = np.arange(padded) < self.num_warmup
-        freeze = np.arange(padded) == (self.num_warmup - 1)
-        in_win = np.zeros(padded, dtype=bool)
-        in_win[:self.num_warmup] = np.asarray(in_window)
-        win_end = np.zeros(padded, dtype=bool)
-        win_end[:self.num_warmup] = np.asarray(window_end)
-        flags = jnp.asarray(
-            np.stack([is_warmup, in_win, win_end, freeze], axis=1))
+        ckpt_every = self.checkpoint_every
+        if ckpt_every is None:
+            ckpt_every = max(1, 128 // chunk)
 
         u0 = self.model.init_unconstrained()
         keys = random.split(rng_key, self.num_chains + 1)
@@ -198,48 +279,79 @@ class MCMC:
             z0 = jax.device_put(z0, chain_sharding)
 
         init_fn = jax.jit(jax.vmap(self._init_chain))
-        chunk_fn = jax.jit(jax.vmap(self._run_chunk, in_axes=(0, None)))
+        launch_fn = self._make_launch(total, chunk)
 
         state = init_fn(chain_keys, z0)
-        outs = []
-        start_chunk = 0
+        outs_host = []      # list of 6-tuples of (steps_k, chains, ...) arrays
+        pending = []        # buffered since the last checkpoint write
+        steps_done = 0
+        n_files = 0
+        nonce = np.uint64(int.from_bytes(os.urandom(8), "little"))
         if checkpoint_path is not None:
             resumed = self._load_run_checkpoint(checkpoint_path, state)
             if resumed is not None:
-                state, outs, start_chunk = resumed
+                state, outs_host, steps_done, nonce, n_files = resumed
                 if chain_sharding is not None:
                     # restored leaves land on default placement; re-apply the
                     # chain sharding so resumed runs stay SPMD over the mesh
                     state = jax.tree.map(
                         lambda l: jax.device_put(l, chain_sharding), state)
                 if self.progress:
-                    print(f"[mcmc] resumed at step {start_chunk * chunk}"
-                          f"/{total} from {checkpoint_path}", flush=True)
+                    print(f"[mcmc] resumed at step {steps_done}/{total} "
+                          f"from {checkpoint_path}", flush=True)
+            else:
+                self._clean_orphan_chunks(checkpoint_path)
 
-        for c in range(start_chunk, n_chunks):
-            fl = flags[c * chunk:(c + 1) * chunk]
-            state, out = chunk_fn(
-                state, (fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3]))
-            outs.append(out)
-            if checkpoint_path is not None:
-                self._save_run_checkpoint(checkpoint_path, state, outs, c + 1)
+        launches = 0
+        while steps_done < total:
+            state, idx, outs, valid = launch_fn(
+                state, jnp.asarray(steps_done, jnp.int32), flags, caps)
+            n_valid = int(np.asarray(valid).sum())
+            host_out = tuple(np.asarray(o[:n_valid]) for o in outs)
+            outs_host.append(host_out)
+            pending.append(host_out)
+            steps_done = int(idx)
+            launches += 1
+
+            if checkpoint_path is not None and (
+                    launches % ckpt_every == 0 or steps_done >= total):
+                n_files = self._save_run_checkpoint(
+                    checkpoint_path, state, pending, steps_done,
+                    nonce, n_files)
+                pending = []
             if self.progress:
-                done = min((c + 1) * chunk, total)
-                acc = float(jnp.mean(out[1]))
-                print(f"[mcmc] step {done}/{total} "
-                      f"({'warmup' if done <= self.num_warmup else 'sample'})"
-                      f" accept={acc:.2f}", flush=True)
+                acc = float(np.mean(host_out[1])) if n_valid else float("nan")
+                print(f"[mcmc] step {steps_done}/{total} "
+                      f"({'warmup' if steps_done <= self.num_warmup else 'sample'})"
+                      f" accept={acc:.2f} (+{n_valid} steps/launch)",
+                      flush=True)
+            if (_stop_after_launches is not None
+                    and launches >= _stop_after_launches
+                    and steps_done < total):
+                if checkpoint_path is not None and pending:
+                    n_files = self._save_run_checkpoint(
+                        checkpoint_path, state, pending, steps_done,
+                        nonce, n_files)
+                return None
 
-        # concat chunk outputs along the draw axis (axis 1: chains lead)
+        # concat per-launch outputs along the step axis, chains to front
         zs, accept, div, steps, depth, pes = (
-            jnp.concatenate([o[i] for o in outs], axis=1)[:, :total]
+            np.moveaxis(np.concatenate([o[i] for o in outs_host], axis=0),
+                        0, 1)
             for i in range(6))
 
         sel = slice(self.num_warmup + self.thinning - 1, None, self.thinning)
         zs, accept, div, steps, depth, pes = (
             a[:, sel] for a in (zs, accept, div, steps, depth, pes))
 
-        self._samples_u = zs  # (chains, draws, zdim)
+        zs = jnp.asarray(zs)  # (chains, draws, zdim)
+        if chain_sharding is not None:
+            # draws stream to host per launch; lay the collected samples
+            # back out over the mesh so downstream consumers (sharded
+            # diagnostics, per-device post-processing) see the chain axis
+            # distributed as during sampling
+            zs = jax.device_put(zs, chain_sharding)
+        self._samples_u = zs
         self._extra = dict(accept_prob=accept, diverging=div,
                            num_steps=steps, tree_depth=depth,
                            potential_energy=pes,
@@ -249,16 +361,31 @@ class MCMC:
 
     # --- in-flight run checkpointing ---
     def _ckpt_config(self):
+        # everything that changes the sampled trajectory (chunk_steps and
+        # the leapfrog budget only move launch boundaries, so resuming
+        # with different launch sizing is exact and allowed)
         return np.array([self.num_warmup, self.num_samples, self.num_chains,
-                         self.thinning, self.chunk_steps])
+                         self.thinning, self.max_depth,
+                         min(self.warmup_depth_cap, self.max_depth),
+                         min(self.warmup_depth_cap_steps, self.num_warmup)])
 
     @staticmethod
     def _chunk_path(path, c):
         return f"{path}.chunk_{c:05d}.npz"
 
+    def _clean_orphan_chunks(self, path):
+        """Starting fresh: remove chunk files a previous run at the same
+        path left behind, so they can never be mistaken for this run's."""
+        import glob
+
+        for p in glob.glob(f"{path}.chunk_*.npz"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     @staticmethod
     def _atomic_savez(path, payload):
-        import os
         import tempfile
 
         # atomic replace so a mid-write kill cannot corrupt the checkpoint
@@ -268,36 +395,32 @@ class MCMC:
             np.savez(f, **payload)
         os.replace(tmp, path)
 
-    def _save_run_checkpoint(self, path, state, outs, chunks_done):
-        """Streaming checkpoint: O(1) host I/O per chunk.
-
-        Each chunk's draws are written ONCE to a side file
-        (``{path}.chunk_NNNNN.npz``); only the small chain-state file at
-        ``path`` is atomically replaced every chunk.  (Round 2 re-serialized
-        the full accumulated history per chunk - O(chunks^2) I/O over a
-        long run.)
-        """
-        import os
-
+    def _save_run_checkpoint(self, path, state, pending, steps_done,
+                             nonce, n_files):
+        """Streaming checkpoint: draws buffered since the last write go to
+        ONE nonce-stamped side file (``{path}.chunk_NNNNN.npz``, always
+        overwritten - never trusted from a previous run); the small
+        chain-state file at ``path`` is atomically replaced afterwards.
+        Returns the new side-file count."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        # write any chunk files not yet on disk (normally exactly one)
-        for c in range(chunks_done):
-            cp = self._chunk_path(path, c)
-            if not os.path.exists(cp):
-                self._atomic_savez(
-                    cp, {f"out_{i}": np.asarray(outs[c][i])
-                         for i in range(6)})
+        payload = {"nonce": nonce}
+        for i in range(6):
+            payload[f"out_{i}"] = np.concatenate(
+                [p[i] for p in pending], axis=0)
+        self._atomic_savez(self._chunk_path(path, n_files), payload)
+        n_files += 1
 
         leaves = jax.tree_util.tree_leaves(state)
-        payload = {"config": self._ckpt_config(),
-                   "chunks_done": np.array(chunks_done)}
+        main = {"config": self._ckpt_config(),
+                "nonce": nonce,
+                "steps_done": np.array(steps_done),
+                "n_files": np.array(n_files)}
         for i, leaf in enumerate(leaves):
-            payload[f"state_{i}"] = np.asarray(leaf)
-        self._atomic_savez(path, payload)
+            main[f"state_{i}"] = np.asarray(leaf)
+        self._atomic_savez(path, main)
+        return n_files
 
     def _load_run_checkpoint(self, path, state_template):
-        import os
-
         if not os.path.exists(path):
             return None
         data = np.load(path, allow_pickle=False)
@@ -305,19 +428,31 @@ class MCMC:
             raise ValueError(
                 f"checkpoint at {path} was written with a different MCMC "
                 f"configuration: {data['config']} vs {self._ckpt_config()}")
+        nonce = data["nonce"][()]
         leaves, treedef = jax.tree_util.tree_flatten(state_template)
         new_leaves = [jnp.asarray(data[f"state_{i}"]).astype(l.dtype)
                       for i, l in enumerate(leaves)]
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         outs = []
-        for c in range(int(data["chunks_done"])):
+        steps = 0
+        for c in range(int(data["n_files"])):
             cp = self._chunk_path(path, c)
             if not os.path.exists(cp):
                 raise ValueError(
                     f"checkpoint at {path} is missing its chunk file {cp}")
             cd = np.load(cp, allow_pickle=False)
-            outs.append(tuple(jnp.asarray(cd[f"out_{i}"]) for i in range(6)))
-        return state, outs, int(data["chunks_done"])
+            if cd["nonce"][()] != nonce:
+                raise ValueError(
+                    f"chunk file {cp} belongs to a different run "
+                    f"(stale nonce) - delete it or the main checkpoint")
+            out = tuple(cd[f"out_{i}"] for i in range(6))
+            steps += out[0].shape[0]
+            outs.append(out)
+        if steps != int(data["steps_done"]):
+            raise ValueError(
+                f"checkpoint at {path}: chunk files hold {steps} steps but "
+                f"the state file says {int(data['steps_done'])}")
+        return state, outs, int(data["steps_done"]), nonce, int(data["n_files"])
 
     # --- results ---
     def get_samples(self, group_by_chain: bool = False) -> dict:

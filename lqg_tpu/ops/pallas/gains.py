@@ -139,12 +139,15 @@ def _write_t(ref, t, M):
         ref[t, i] = rows[i]
 
 
+def _read_t(ref, t, n: int, m: int):
+    return _mat([ref[t, i] for i in range(n * m)], n, m)
+
+
 # --- kernels ---
 
 
-def _gains_merged_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, F_ref, VV_ref,
-                         WW_ref, Sigma0_ref, L_ref, H_ref, K_ref,
-                         S_scr, P_scr, *, n, m, p, T, tc, eps, unroll=1):
+def _gains_merged_kernel(*refs, n, m, p, T, tc, eps, unroll=1,
+                         emit_stores=False):
     """Riccati backward AND Kalman forward in ONE kernel.
 
     The two recursions are independent (control gains come from the
@@ -155,7 +158,21 @@ def _gains_merged_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, F_ref, VV_ref,
     at small batch the gains are LATENCY-bound (measured 7.2 ms as two
     kernels at T=1000; the op mix per step is unchanged, the second
     traversal of the time axis is eliminated).
+
+    With ``emit_stores`` the per-step carries (Riccati ``S_t`` entering the
+    step that emits ``L_t``, Kalman ``P_t`` entering the predict) stream to
+    two extra outputs - the residues :func:`_gains_adjoint_kernel` needs.
+    The store-free variant stays the primal (no extra HBM write traffic on
+    the throughput-bound full-batch solve path).
     """
+    if emit_stores:
+        (A_ref, B_ref, Q_ref, R_ref, Qf_ref, F_ref, VV_ref, WW_ref,
+         Sigma0_ref, L_ref, H_ref, K_ref, Sst_ref, Pst_ref,
+         S_scr, P_scr) = refs
+    else:
+        (A_ref, B_ref, Q_ref, R_ref, Qf_ref, F_ref, VV_ref, WW_ref,
+         Sigma0_ref, L_ref, H_ref, K_ref, S_scr, P_scr) = refs
+        Sst_ref = Pst_ref = None
     c = pl.program_id(1)
 
     A = _read(A_ref, n, n)
@@ -193,9 +210,13 @@ def _gains_merged_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, F_ref, VV_ref,
         tt = tc - 1 - i
         _write_t(L_ref, tt, L)
         _write_t(H_ref, tt, H)
+        if Sst_ref is not None:
+            _write_t(Sst_ref, tt, S)
 
         # --- Kalman forward (chunk-local forward slot i) ---
         P = _mat(list(P_rows), n, n)
+        if Pst_ref is not None:
+            _write_t(Pst_ref, i, P)
         P = _add(_matmul(A, _matmul(P, At)), VVt)
         PFt = _matmul(P, Ft)
         Gk = _add(_matmul(F, PFt), WWt)
@@ -211,6 +232,187 @@ def _gains_merged_kernel(A_ref, B_ref, Q_ref, R_ref, Qf_ref, F_ref, VV_ref,
     S_fin, P_fin = jax.lax.fori_loop(0, tc, step, carry0, unroll=unroll)
     _write_scratch(S_scr, _mat(list(S_fin), n, n))
     _write_scratch(P_scr, _mat(list(P_fin), n, n))
+
+
+def _gains_adjoint_kernel(A_ref, B_ref, R_ref, F_ref, VV_ref, WW_ref,
+                          Sst_ref, Pst_ref, Lbar_ref, Hbar_ref, Kbar_ref,
+                          Abar_ref, Bbar_ref, Qbar_ref, Rbar_ref, Qfbar_ref,
+                          Fbar_ref, VVbar_ref, WWbar_ref, S0bar_ref,
+                          Sb_scr, Pb_scr, Aacc_scr, Bacc_scr, Qacc_scr,
+                          Racc_scr, Facc_scr, Vacc_scr, Wacc_scr,
+                          *, n, m, p, T, tc, eps):
+    """Analytic adjoint of :func:`_gains_merged_kernel` - ONE kernel.
+
+    Reverse-mode of the Riccati backward pass runs FORWARD in time (its
+    primal ran backward), and reverse-mode of the Kalman forward pass runs
+    BACKWARD - so, exactly like the primal, the two adjoint recursions
+    interleave in one fori_loop with independent carries, one reading its
+    streams ascending and the other descending.  Forward intermediates
+    (H, L, Gk, K, ...) are recomputed from the stored carries ``S_t`` /
+    ``P_t`` - identical arithmetic to the primal - instead of being
+    streamed from HBM.
+
+    Hand-derived adjoints (tr(Xbar^T dX) convention), Riccati step:
+
+        Lb  += HL Sb^T + G Sb^T + G Sb + H L Sb          [from S+ terms]
+        Hb  += L Sb L^T + Hinv Lb G^T Hinv               [S+ and L=-Hinv G]
+        Gbar = L Sb + L Sb^T - Hinv Lb
+        Rbar += Hb;  Qbar += Sb
+        SBbar = B Hb;        SAbar = A Sb + B Gbar
+        Abar += SA Sb^T + S SAbar
+        Bbar += SA Gbar^T + SB Hb^T + S SBbar
+        Sb'  = SBbar B^T + SAbar A^T                      [carry]
+
+    Kalman step (Pp/PFt/Gk/K recomputed from stored P):
+
+        Kb'   = Kb - Pb PFt
+        PFtb  = -Pb^T K + Kb' Gki
+        Gkbar = -Gki (PFt^T Kb') Gki
+        WWbar += Gkbar;  Fbar += Gkbar PFt^T + PFtb'^T Pp
+        Ppbar = Pb + (PFtb + F^T Gkbar) F
+        VVbar += Ppbar;  Abar += (Ppbar + Ppbar^T) A P
+        Pb'   = A^T Ppbar A                               [carry]
+
+    Cotangents for the stationary inputs accumulate in scratch across the
+    whole grid and are written at the last chunk, along with ``Qfbar`` (the
+    final Riccati-adjoint carry: the primal's initial carry was ``Qf``) and
+    ``Sigma0bar`` (final Kalman-adjoint carry).
+    """
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    A = _read(A_ref, n, n)
+    Bm = _read(B_ref, n, m)
+    R = _read(R_ref, m, m)
+    F = _read(F_ref, p, n)
+    VVt = _read(VV_ref, n, n)
+    WWt = _read(WW_ref, p, p)
+    At = _transpose(A)
+    Bt = _transpose(Bm)
+    Ft = _transpose(F)
+
+    def zmat(a, b):
+        z = _idx((VVt[0], n, n), 0, 0) * 0.0
+        return _mat([z for _ in range(a * b)], a, b)
+
+    @pl.when(c == 0)
+    def _():
+        _write_scratch(Sb_scr, zmat(n, n))
+        _write_scratch(Pb_scr, zmat(n, n))
+        _write_scratch(Aacc_scr, zmat(n, n))
+        _write_scratch(Bacc_scr, zmat(n, m))
+        _write_scratch(Qacc_scr, zmat(n, n))
+        _write_scratch(Racc_scr, zmat(m, m))
+        _write_scratch(Facc_scr, zmat(p, n))
+        _write_scratch(Vacc_scr, zmat(n, n))
+        _write_scratch(Wacc_scr, zmat(p, p))
+
+    def step(i, carry):
+        (sb_rows, pb_rows, aA_r, aB_r, aQ_r, aR_r, aF_r, aV_r, aW_r) = carry
+        aA = _mat(list(aA_r), n, n)
+        aB = _mat(list(aB_r), n, m)
+        aQ = _mat(list(aQ_r), n, n)
+        aR = _mat(list(aR_r), m, m)
+        aF = _mat(list(aF_r), p, n)
+        aV = _mat(list(aV_r), n, n)
+        aW = _mat(list(aW_r), p, p)
+
+        # --- Riccati adjoint (ascending slot i) ---
+        S = _read_t(Sst_ref, i, n, n)
+        Sb = _mat(list(sb_rows), n, n)
+        Lb0 = _read_t(Lbar_ref, i, m, n)
+        Hb0 = _read_t(Hbar_ref, i, m, m)
+
+        SB = _matmul(S, Bm)
+        SA = _matmul(S, A)
+        H = _add(R, _matmul(Bt, SB))
+        G = _matmul(Bt, SA)
+        Hinv = _sym_inv(H, eps)
+        L = _neg(_matmul(Hinv, G))
+        HL = _matmul(H, L)
+
+        Sbt = _transpose(Sb)
+        Lb = _add(Lb0, _add(_matmul(HL, Sbt),
+                            _add(_matmul(G, Sbt),
+                                 _add(_matmul(G, Sb),
+                                      _matmul(H, _matmul(L, Sb))))))
+        Hb = _add(Hb0, _matmul(L, _matmul(Sb, _transpose(L))))
+        HinvLb = _matmul(Hinv, Lb)
+        Hb = _add(Hb, _matmul(HinvLb, _matmul(_transpose(G), Hinv)))
+        Gbar = _sub(_add(_matmul(L, Sb), _matmul(L, Sbt)), HinvLb)
+
+        aR = _add(aR, Hb)
+        aQ = _add(aQ, Sb)
+        SBbar = _matmul(Bm, Hb)
+        SAbar = _add(_matmul(A, Sb), _matmul(Bm, Gbar))
+        aA = _add(aA, _add(_matmul(SA, Sbt), _matmul(S, SAbar)))
+        aB = _add(aB, _add(_matmul(SA, _transpose(Gbar)),
+                           _add(_matmul(SB, _transpose(Hb)),
+                                _matmul(S, SBbar))))
+        Sb_new = _add(_matmul(SBbar, Bt), _matmul(SAbar, At))
+
+        # --- Kalman adjoint (descending slot tt) ---
+        tt = tc - 1 - i
+        P = _read_t(Pst_ref, tt, n, n)
+        Pb = _mat(list(pb_rows), n, n)
+        Kb0 = _read_t(Kbar_ref, tt, n, p)
+
+        Pp = _add(_matmul(A, _matmul(P, At)), VVt)
+        PFt = _matmul(Pp, Ft)
+        Gk = _add(_matmul(F, PFt), WWt)
+        Gki = _sym_inv(Gk, eps)
+        K = _matmul(PFt, Gki)
+
+        Kb = _sub(Kb0, _matmul(Pb, PFt))
+        PFtb = _add(_neg(_matmul(_transpose(Pb), K)), _matmul(Kb, Gki))
+        Gkbar = _neg(_matmul(Gki, _matmul(_transpose(PFt),
+                                          _matmul(Kb, Gki))))
+        aW = _add(aW, Gkbar)
+        aF = _add(aF, _matmul(Gkbar, _transpose(PFt)))
+        PFtb_full = _add(PFtb, _matmul(Ft, Gkbar))
+        aF = _add(aF, _matmul(_transpose(PFtb_full), Pp))
+        Ppbar = _add(Pb, _matmul(PFtb_full, F))
+        aV = _add(aV, Ppbar)
+        aA = _add(aA, _matmul(_add(Ppbar, _transpose(Ppbar)),
+                              _matmul(A, P)))
+        Pb_new = _matmul(At, _matmul(Ppbar, A))
+
+        return (tuple(Sb_new[0]), tuple(Pb_new[0]),
+                tuple(aA[0]), tuple(aB[0]), tuple(aQ[0]), tuple(aR[0]),
+                tuple(aF[0]), tuple(aV[0]), tuple(aW[0]))
+
+    carry0 = (tuple(_read_scratch(Sb_scr, n, n)[0]),
+              tuple(_read_scratch(Pb_scr, n, n)[0]),
+              tuple(_read_scratch(Aacc_scr, n, n)[0]),
+              tuple(_read_scratch(Bacc_scr, n, m)[0]),
+              tuple(_read_scratch(Qacc_scr, n, n)[0]),
+              tuple(_read_scratch(Racc_scr, m, m)[0]),
+              tuple(_read_scratch(Facc_scr, p, n)[0]),
+              tuple(_read_scratch(Vacc_scr, n, n)[0]),
+              tuple(_read_scratch(Wacc_scr, p, p)[0]))
+    (sb_f, pb_f, aA_f, aB_f, aQ_f, aR_f, aF_f, aV_f, aW_f) = \
+        jax.lax.fori_loop(0, tc, step, carry0)
+    _write_scratch(Sb_scr, _mat(list(sb_f), n, n))
+    _write_scratch(Pb_scr, _mat(list(pb_f), n, n))
+    _write_scratch(Aacc_scr, _mat(list(aA_f), n, n))
+    _write_scratch(Bacc_scr, _mat(list(aB_f), n, m))
+    _write_scratch(Qacc_scr, _mat(list(aQ_f), n, n))
+    _write_scratch(Racc_scr, _mat(list(aR_f), m, m))
+    _write_scratch(Facc_scr, _mat(list(aF_f), p, n))
+    _write_scratch(Vacc_scr, _mat(list(aV_f), n, n))
+    _write_scratch(Wacc_scr, _mat(list(aW_f), p, p))
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        _write_t(Abar_ref, 0, _read_scratch(Aacc_scr, n, n))
+        _write_t(Bbar_ref, 0, _read_scratch(Bacc_scr, n, m))
+        _write_t(Qbar_ref, 0, _read_scratch(Qacc_scr, n, n))
+        _write_t(Rbar_ref, 0, _read_scratch(Racc_scr, m, m))
+        _write_t(Qfbar_ref, 0, _read_scratch(Sb_scr, n, n))
+        _write_t(Fbar_ref, 0, _read_scratch(Facc_scr, p, n))
+        _write_t(VVbar_ref, 0, _read_scratch(Vacc_scr, n, n))
+        _write_t(WWbar_ref, 0, _read_scratch(Wacc_scr, p, p))
+        _write_t(S0bar_ref, 0, _read_scratch(Pb_scr, n, n))
 
 
 def _scan_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
@@ -244,9 +446,17 @@ def _assoc_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     return g.L, g.H, K
 
 
-# VJP implementation for gains_fused: "assoc" (default; parallel-in-time)
-# or "scan" (sequential; debugging / exact-scan-parity escape hatch)
-GAINS_VJP_METHOD = "assoc"
+# VJP implementation for gains_fused:
+#   "kernel" - analytic adjoint Pallas kernel (default): hand-derived
+#       reverse recursions fused on-chip (see _gains_adjoint_kernel);
+#   "scan"   - differentiate the sequential XLA twin;
+#   "assoc"  - differentiate the parallel-in-time twin.
+# Measured on TPU v5e at the real-data fit workload (6 conditions, T=1008,
+# BoundedActor), potential value+grad: 23.2 ms scan twin, 69.9 ms assoc
+# twin (53 ms vs 285 ms for 4 vmapped chains - the assoc twin's O(T)
+# intermediates are HBM-bound at small batch, exactly the NUTS regime);
+# the adjoint kernel replaces both with two ~0.1 ms launches.
+GAINS_VJP_METHOD = "kernel"
 
 
 @functools.lru_cache(maxsize=None)
@@ -306,12 +516,63 @@ def gains_fused(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     return _gains_fwd_cv(horizon)(spec, Sigma0)
 
 
+@functools.lru_cache(maxsize=None)
+def _gains_adj_cv(horizon: int):
+    """custom_vmap wrapper for the adjoint kernel call: mapped axes (NUTS
+    chains vmapped over the potential's VJP) fold into the particle axis,
+    mirroring :func:`_gains_fwd_cv` on the forward side."""
+    import jax.custom_batching
+
+    def call(spec, Sigma0, Lbar, Hbar, Kbar):
+        return _gains_adjoint_call(spec, Sigma0, horizon, Lbar, Hbar, Kbar)
+
+    cv = jax.custom_batching.custom_vmap(call)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, spec, Sigma0, Lbar, Hbar, Kbar):
+        B = axis_size
+
+        def fold_b(x, b):
+            # batch-leading leaves (spec fields, Sigma0): (B, P, ...)->(B*P,)
+            if not b:
+                x = jnp.broadcast_to(x[None], (B,) + x.shape)
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        def fold_t(x, b):
+            # time-leading cotangents: (B, T, P, ...) -> (T, B*P, ...)
+            if not b:
+                x = jnp.broadcast_to(x[None], (B,) + x.shape)
+            x = jnp.moveaxis(x, 0, 1)
+            return x.reshape((x.shape[0], x.shape[1] * x.shape[2])
+                             + x.shape[3:])
+
+        sb, cb = in_batched[0], in_batched[1]
+        spec_f = jax.tree.map(fold_b, spec, sb)
+        S0_f = fold_b(Sigma0, cb)
+        Lf = fold_t(Lbar, in_batched[2])
+        Hf = fold_t(Hbar, in_batched[3])
+        Kf = fold_t(Kbar, in_batched[4])
+        spec_bar, S0_bar = cv(spec_f, S0_f, Lf, Hf, Kf)
+
+        def unfold(x):
+            return x.reshape((B, -1) + x.shape[1:])
+
+        out = (jax.tree.map(unfold, spec_bar), unfold(S0_bar))
+        out_batched = (jax.tree.map(lambda _: True, spec_bar), True)
+        return out, out_batched
+
+    return cv
+
+
 def _gains_fused_fwd(spec, Sigma0, horizon):
     return _gains_fwd_cv(horizon)(spec, Sigma0), (spec, Sigma0)
 
 
 def _gains_fused_bwd(horizon, res, cotangents):
     spec, Sigma0 = res
+    if GAINS_VJP_METHOD == "kernel":
+        Lbar, Hbar, Kbar = cotangents
+        return _gains_adj_cv(horizon)(spec, Sigma0, Lbar, Hbar, Kbar)
     twin = _assoc_gains if GAINS_VJP_METHOD == "assoc" else _scan_gains
     _, vjp = jax.vjp(lambda s, S0: twin(s, S0, horizon), spec, Sigma0)
     return vjp(cotangents)
@@ -331,11 +592,33 @@ def fused_gains_available(spec: LQGSpec) -> bool:
             and spec.V.shape[-1] == n and spec.W.shape[-1] == p)
 
 
+def _gains_layout(Bn):
+    n_pblocks = -(-Bn // BLOCK)
+    return n_pblocks, n_pblocks * BLOCK
+
+
+def _rows_const(x, Bn, Bp, r, c):
+    # (B, r, c) -> (r*c, Bp/LANE, LANE), edge-padded particles
+    flat = jnp.moveaxis(x.reshape(Bn, r * c), 0, -1)
+    if Bp != Bn:
+        flat = jnp.pad(flat, ((0, 0), (0, Bp - Bn)), mode="edge")
+    return flat.reshape(r * c, Bp // LANE, LANE)
+
+
+def _rows_sched(x, T, Bn, Bp, r, c):
+    # (T, B, r, c) -> (T, r*c, Bp/LANE, LANE), zero-padded particles
+    flat = jnp.moveaxis(x.reshape(T, Bn, r * c), 1, -1)
+    if Bp != Bn:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, Bp - Bn)))
+    return flat.reshape(T, r * c, Bp // LANE, LANE)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("horizon", "time_chunk", "unroll"))
+                   static_argnames=("horizon", "time_chunk", "unroll",
+                                    "with_stores", "eps"))
 def fused_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int,
                 time_chunk: int = 250, eps: float = 1e-12, block=None,
-                unroll: int = 1):
+                unroll: int = 1, with_stores: bool = False):
     """Fused gain schedules for a batch of stationary specs.
 
     Args:
@@ -343,11 +626,16 @@ def fused_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int,
         Sigma0: (B, n, n) initial covariance.
         horizon: T (must divide by ``time_chunk``).
         time_chunk: horizon steps per grid step (bounds VMEM).
+        with_stores: additionally stream the per-step recursion carries
+            (Riccati ``S_t``, Kalman ``P_t``) to HBM in the raw lane layout
+            - the residues of the analytic adjoint kernel (internal; see
+            :func:`_gains_adjoint_call`).
 
     Returns:
         ``(L, H, K)`` with shapes ``(T, B, m, n)``, ``(T, B, m, m)``,
         ``(T, B, n, p)`` - matching :func:`lqg_tpu.ops.riccati.backward` /
         :func:`lqg_tpu.ops.kalman.forward` (with ``regularize="none"``).
+        With ``with_stores``: ``(L, H, K, (S_raw, P_raw))``.
     """
     del block  # legacy arg
     Bn = spec.A.shape[0]
@@ -356,21 +644,18 @@ def fused_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int,
     p = spec.F.shape[-2]
     T = horizon
     tc = time_chunk
+    if with_stores:
+        # the two extra (n*n)-row streams grow the per-chunk VMEM
+        # footprint; shrink the chunk to a ~2 MB streaming budget
+        per_step = m * n + m * m + n * p + 2 * n * n
+        tc = min(tc, max(1, (2 << 20) // (per_step * SUB * LANE * 4)))
     while T % tc:
         tc -= 1
     n_chunks = T // tc
     dtype = spec.A.dtype
 
-    # pad particles to a multiple of the (8, 128) tile
-    n_pblocks = -(-Bn // BLOCK)
-    Bp = n_pblocks * BLOCK
-
-    def rows(x, r, c):
-        # (B, r, c) -> (r*c, Bp/LANE, LANE), edge-padded particles
-        flat = jnp.moveaxis(x.reshape(Bn, r * c), 0, -1)
-        if Bp != Bn:
-            flat = jnp.pad(flat, ((0, 0), (0, Bp - Bn)), mode="edge")
-        return flat.reshape(r * c, Bp // LANE, LANE)
+    n_pblocks, Bp = _gains_layout(Bn)
+    rows = lambda x, r, c: _rows_const(x, Bn, Bp, r, c)
 
     mT_ = lambda M: jnp.swapaxes(M, -1, -2)
     VV = spec.V @ mT_(spec.V)
@@ -398,22 +683,31 @@ def fused_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int,
     compiler_params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
 
+    out_specs = [out_spec_rev(m * n), out_spec_rev(m * m),
+                 out_spec_fwd(n * p)]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, m * n, Bp // LANE, LANE), dtype),
+        jax.ShapeDtypeStruct((T, m * m, Bp // LANE, LANE), dtype),
+        jax.ShapeDtypeStruct((T, n * p, Bp // LANE, LANE), dtype),
+    ]
+    if with_stores:
+        out_specs += [out_spec_rev(n * n), out_spec_fwd(n * n)]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, n * n, Bp // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((T, n * n, Bp // LANE, LANE), dtype),
+        ]
+
     # ONE launch: both recursions share the fori_loop (independent carries;
     # L/H stream to the reverse-time block of each chunk, K forward)
-    L, H, K = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_gains_merged_kernel, n=n, m=m, p=p, T=T, tc=tc,
-                          eps=eps, unroll=unroll),
+                          eps=eps, unroll=unroll, emit_stores=with_stores),
         grid=grid,
         in_specs=[pspec(n * n), pspec(n * m), pspec(n * n), pspec(m * m),
                   pspec(n * n), pspec(p * n), pspec(n * n), pspec(p * p),
                   pspec(n * n)],
-        out_specs=(out_spec_rev(m * n), out_spec_rev(m * m),
-                   out_spec_fwd(n * p)),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, m * n, Bp // LANE, LANE), dtype),
-            jax.ShapeDtypeStruct((T, m * m, Bp // LANE, LANE), dtype),
-            jax.ShapeDtypeStruct((T, n * p, Bp // LANE, LANE), dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((n * n, SUB, LANE), dtype),
                         pltpu.VMEM((n * n, SUB, LANE), dtype)],
         compiler_params=compiler_params,
@@ -427,4 +721,119 @@ def fused_gains(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int,
         flat = x.reshape(T, r * c, Bp)[..., :Bn]
         return jnp.moveaxis(flat, -1, 1).reshape(T, Bn, r, c)
 
-    return unrows(L, m, n), unrows(H, m, m), unrows(K, n, p)
+    L, H, K = outs[0], outs[1], outs[2]
+    res = (unrows(L, m, n), unrows(H, m, m), unrows(K, n, p))
+    if with_stores:
+        return res + ((outs[3], outs[4]),)
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("horizon", "eps"))
+def _gains_adjoint_call(spec: LQGSpec, Sigma0, horizon: int,
+                        Lbar, Hbar, Kbar, eps: float = 1e-12):
+    """Analytic gains VJP: re-run the forward kernel with stores, then one
+    adjoint kernel launch.  Returns ``(spec_bar, Sigma0_bar)``.
+
+    Cotangents ``Lbar/Hbar/Kbar`` are shaped like :func:`fused_gains`
+    outputs ``(T, B, ...)``.
+    """
+    Bn = spec.A.shape[0]
+    n = spec.A.shape[-1]
+    m = spec.B.shape[-1]
+    p = spec.F.shape[-2]
+    T = horizon
+    dtype = spec.A.dtype
+
+    _, _, _, (S_raw, P_raw) = fused_gains(spec, Sigma0, horizon,
+                                          with_stores=True, eps=eps)
+    # stores were produced at the (VMEM-budgeted) forward chunking; the
+    # adjoint streams more rows per step, so budget its own chunk
+    per_step = 2 * n * n + 2 * (m * n) + 2 * (m * m) + 2 * (n * p)
+    tc = min(T, max(1, (2 << 20) // (per_step * SUB * LANE * 4)))
+    while T % tc:
+        tc -= 1
+    n_chunks = T // tc
+
+    n_pblocks, Bp = _gains_layout(Bn)
+    rows = lambda x, r, c: _rows_const(x, Bn, Bp, r, c)
+    rows_t = lambda x, r, c: _rows_sched(x, T, Bn, Bp, r, c)
+
+    mT_ = lambda M: jnp.swapaxes(M, -1, -2)
+    VV = spec.V @ mT_(spec.V)
+    WW = spec.W @ mT_(spec.W)
+
+    def pspec(r):
+        return pl.BlockSpec((r, SUB, LANE), lambda pb, c: (0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_fwd(r):
+        return pl.BlockSpec((tc, r, SUB, LANE), lambda pb, c: (c, 0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_rev(r):
+        return pl.BlockSpec((tc, r, SUB, LANE),
+                            lambda pb, c, n_chunks=n_chunks:
+                            (n_chunks - 1 - c, 0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    def out_const(r):
+        return pl.BlockSpec((1, r, SUB, LANE), lambda pb, c: (0, 0, pb, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid = (n_pblocks, n_chunks)
+    interpret = jax.default_backend() != "tpu"
+    compiler_params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
+
+    shapes = [(n, n), (n, m), (n, n), (m, m), (n, n), (p, n), (n, n),
+              (p, p), (n, n)]
+    outs = pl.pallas_call(
+        functools.partial(_gains_adjoint_kernel, n=n, m=m, p=p, T=T, tc=tc,
+                          eps=eps),
+        grid=grid,
+        in_specs=[pspec(n * n), pspec(n * m), pspec(m * m), pspec(p * n),
+                  pspec(n * n), pspec(p * p),
+                  spec_fwd(n * n), spec_rev(n * n),
+                  spec_fwd(m * n), spec_fwd(m * m), spec_rev(n * p)],
+        out_specs=tuple(out_const(a * b) for a, b in shapes),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((1, a * b, Bp // LANE, LANE), dtype)
+            for a, b in shapes),
+        scratch_shapes=[pltpu.VMEM((r, SUB, LANE), dtype)
+                        for r in (n * n, n * n, n * n, n * m, n * n,
+                                  m * m, p * n, n * n, p * p)],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(rows(spec.A, n, n), rows(spec.B, n, m), rows(spec.R, m, m),
+      rows(spec.F, p, n), rows(VV, n, n), rows(WW, p, p),
+      S_raw, P_raw,
+      rows_t(Lbar, m, n), rows_t(Hbar, m, m), rows_t(Kbar, n, p))
+
+    def unrows(x, a, b):
+        flat = x.reshape(a * b, Bp)[..., :Bn]
+        return jnp.moveaxis(flat, -1, 0).reshape(Bn, a, b)
+
+    (Abar, Bbar, Qbar, Rbar, Qfbar, Fbar, VVbar, WWbar,
+     S0bar) = (unrows(o[0], a, b) for o, (a, b) in zip(outs, shapes))
+
+    # chain VV = V V^T, WW = W W^T back to the noise-scale matrices
+    Vbar = (VVbar + mT_(VVbar)) @ spec.V
+    Wbar = (WWbar + mT_(WWbar)) @ spec.W
+
+    # canonical gauge: the cotangents of the symmetric-matrix inputs
+    # (Q, Qf, R, Sigma0) are only determined up to their asymmetric part
+    # (the recursions are specified on the symmetric manifold; all
+    # constructors produce symmetric tangents, e.g. d(V V^T) and d(c*I))
+    # - emit the symmetric representative, matching the scan twin (whose
+    # symmetrize()/cholesky ops project these cotangents)
+    sym = lambda M: 0.5 * (M + mT_(M))
+    Qbar, Qfbar, Rbar, S0bar = sym(Qbar), sym(Qfbar), sym(Rbar), sym(S0bar)
+
+    def zlike(x):
+        return jnp.zeros(jnp.shape(x), dtype=dtype)
+
+    spec_bar = LQGSpec(
+        Q=Qbar, q=zlike(spec.q), Qf=Qfbar, qf=zlike(spec.qf),
+        P=zlike(spec.P), R=Rbar, r=zlike(spec.r),
+        A=Abar, B=Bbar, V=Vbar, F=Fbar, W=Wbar)
+    return spec_bar, S0bar

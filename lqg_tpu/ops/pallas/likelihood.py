@@ -530,7 +530,8 @@ def _ll_bwd_call(stores, llbar):
 
     w_in = _rows_c(llbar.reshape(lanes, 1), 1, Lp)[:, 0]  # (1, Lp/LANE, LANE)
 
-    tc = _pick_chunk(T, per_step_tiles=5 * (j * j) + 2 * j + d)
+    # 2*d: the X input stream plus the per-step Xbar output stream
+    tc = _pick_chunk(T, per_step_tiles=5 * (j * j) + 2 * j + 2 * d)
     n_chunks = T // tc
 
     grid = (n_pblocks, n_chunks)

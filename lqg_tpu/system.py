@@ -106,6 +106,13 @@ class System:
             return False
 
         def concretely_zero(x):
+            # NumPy leaves (how the spec constructors encode structurally-
+            # zero cost terms) stay concrete inside jit/vmap traces, where
+            # any jnp op - even on constants - returns a tracer.
+            import numpy as np
+
+            if isinstance(x, np.ndarray):
+                return not x.any()
             try:
                 return not bool(jnp.any(x))
             except jax.errors.TracerBoolConversionError:

@@ -13,8 +13,22 @@ API parity and for genuinely time-varying problems.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from lqg_tpu.spec import LQGSpec
+
+
+def _zeros(shape, dtype):
+    """Concrete (NumPy) zeros for the structurally-zero cost terms.
+
+    ``jnp.zeros`` inside a ``jit``/``vmap`` trace produces a *tracer*, which
+    would make ``System._fused_ok``'s is-this-term-zero check unanswerable at
+    trace time - silently knocking every traced model (i.e. every NUTS
+    leapfrog) off the fused Pallas gains kernel onto the sequential scan.
+    NumPy zeros stay concrete through tracing; consumers lift them to device
+    constants on use.
+    """
+    return np.zeros(shape, dtype=dtype)
 
 
 def time_stack(A: jnp.ndarray, T: int) -> jnp.ndarray:
@@ -46,11 +60,11 @@ def time_stack_spec(A, B, F, V, W, Q, R, T: int) -> LQGSpec:
         W=time_stack(W, T),
         Q=time_stack(Q, T),
         R=time_stack(R, T),
-        q=jnp.zeros(batch + (T, state_dim), dtype=Q.dtype),
+        q=_zeros(batch + (T, state_dim), Q.dtype),
         Qf=jnp.broadcast_to(Q, batch + Q.shape[-2:]),
-        qf=jnp.zeros(batch + (state_dim,), dtype=Q.dtype),
-        P=jnp.zeros(batch + (T, action_dim, state_dim), dtype=R.dtype),
-        r=jnp.zeros(batch + (T, action_dim), dtype=R.dtype),
+        qf=_zeros(batch + (state_dim,), Q.dtype),
+        P=_zeros(batch + (T, action_dim, state_dim), R.dtype),
+        r=_zeros(batch + (T, action_dim), R.dtype),
     )
     return spec
 
@@ -70,9 +84,9 @@ def stationary_spec(A, B, F, V, W, Q, R) -> LQGSpec:
     )
     return LQGSpec(
         A=A, B=B, F=F, V=V, W=W, Q=Q, R=R,
-        q=jnp.zeros(batch + (state_dim,), dtype=Q.dtype),
+        q=_zeros(batch + (state_dim,), Q.dtype),
         Qf=jnp.broadcast_to(Q, batch + Q.shape[-2:]),
-        qf=jnp.zeros(batch + (state_dim,), dtype=Q.dtype),
-        P=jnp.zeros(batch + (action_dim, state_dim), dtype=R.dtype),
-        r=jnp.zeros(batch + (action_dim,), dtype=R.dtype),
+        qf=_zeros(batch + (state_dim,), Q.dtype),
+        P=_zeros(batch + (action_dim, state_dim), R.dtype),
+        r=_zeros(batch + (action_dim,), R.dtype),
     )

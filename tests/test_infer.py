@@ -248,9 +248,10 @@ def test_diagnostics_sane():
 
 @pytest.mark.slow
 def test_mcmc_run_checkpoint_resume(tmp_path):
-    """A run interrupted after one chunk resumes to the identical result."""
+    """A run interrupted mid-flight resumes to the identical result - even
+    with a different launch size (transitions are keyed by global step
+    index, so launch boundaries don't change the trajectory)."""
     import numpy as np
-    import jax
     from jax import random
     from lqg_tpu.infer.mcmc import MCMC
     from lqg_tpu.infer.models import lifted_model
@@ -260,39 +261,22 @@ def test_mcmc_run_checkpoint_resume(tmp_path):
     x = m.simulate(random.PRNGKey(0), n=5)
     prob = lifted_model(x, BoundedActor)
 
-    kwargs = dict(num_warmup=16, num_samples=16, num_chains=2,
-                  max_depth=5, chunk_steps=8)
+    kwargs = dict(num_warmup=16, num_samples=16, num_chains=2, max_depth=5)
     key = random.PRNGKey(1)
 
     # uninterrupted reference run
-    ref = MCMC(prob, **kwargs).run(key)
+    ref = MCMC(prob, chunk_steps=8, **kwargs).run(key)
 
-    # interrupted run: execute exactly one chunk by hand, checkpoint it
+    # interrupted run: stop after two launches, leaving a checkpoint
     path = str(tmp_path / "run.npz")
-    mc = MCMC(prob, **kwargs)
-    total = kwargs["num_warmup"] + kwargs["num_samples"]
-    flags_full = np.zeros((total, 4), dtype=bool)
-    # rebuild the same flag schedule run() uses
-    from lqg_tpu.infer import adaptation as adapt
-    in_w, w_end = adapt.build_schedule(kwargs["num_warmup"])
-    flags_full[:kwargs["num_warmup"], 1] = np.asarray(in_w)
-    flags_full[:kwargs["num_warmup"], 2] = np.asarray(w_end)
-    flags_full[:, 0] = np.arange(total) < kwargs["num_warmup"]
-    flags_full[:, 3] = np.arange(total) == kwargs["num_warmup"] - 1
+    mc = MCMC(prob, chunk_steps=8, checkpoint_every=1, **kwargs)
+    out = mc.run(key, checkpoint_path=path, _stop_after_launches=2)
+    assert out is None  # stopped early
 
-    u0 = prob.init_unconstrained()
-    keys = random.split(key, kwargs["num_chains"] + 1)
-    jitter = mc.init_jitter * random.uniform(
-        keys[0], (kwargs["num_chains"], u0.shape[0]), minval=-1.0, maxval=1.0)
-    z0 = u0[None, :] + jitter
-    state = jax.vmap(mc._init_chain)(keys[1:], z0)
-    fl = jnp.asarray(flags_full[:8])
-    state, out = jax.vmap(mc._run_chunk, in_axes=(0, None))(
-        state, (fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3]))
-    mc._save_run_checkpoint(path, state, [out], 1)
-
-    # resume from the checkpoint; must equal the uninterrupted run
-    resumed = MCMC(prob, **kwargs).run(key, checkpoint_path=path)
+    # resume from the checkpoint with DIFFERENT launch sizing; must equal
+    # the uninterrupted run exactly
+    resumed = MCMC(prob, chunk_steps=5, **kwargs).run(
+        key, checkpoint_path=path)
     np.testing.assert_allclose(np.asarray(resumed._samples_u),
                                np.asarray(ref._samples_u), atol=1e-6)
 
@@ -301,10 +285,44 @@ def test_mcmc_run_checkpoint_resume(tmp_path):
     with pytest.raises(ValueError):
         bad.run(key, checkpoint_path=path)
 
+    # a stale chunk file from a different run is rejected (nonce check)
+    other = str(tmp_path / "other.npz")
+    MCMC(prob, chunk_steps=8, checkpoint_every=1, **kwargs).run(
+        key, checkpoint_path=other, _stop_after_launches=1)
+    import shutil
+    shutil.copy(other + ".chunk_00000.npz", path + ".chunk_00000.npz")
+    with pytest.raises(ValueError, match="nonce"):
+        MCMC(prob, chunk_steps=8, **kwargs).run(key, checkpoint_path=path)
+
+
+def test_mcmc_launch_budget(tmp_path):
+    """The leapfrog budget bounds each launch's transitions; the run still
+    completes with the same results as an unbudgeted run."""
+    import numpy as np
+    from jax import random
+    from lqg_tpu.infer.mcmc import MCMC
+    from lqg_tpu.infer.models import lifted_model
+    from lqg_tpu.models import BoundedActor
+
+    m = BoundedActor(T=40)
+    x = m.simulate(random.PRNGKey(0), n=3)
+    prob = lifted_model(x, BoundedActor)
+    kwargs = dict(num_warmup=8, num_samples=8, num_chains=2, max_depth=4)
+    key = random.PRNGKey(2)
+
+    ref = MCMC(prob, chunk_steps=16, **kwargs).run(key)
+    # a tiny budget forces one transition per launch (budget checked
+    # before each step, so every launch does at least one)
+    tight = MCMC(prob, chunk_steps=16, max_leapfrogs_per_launch=1,
+                 **kwargs).run(key)
+    np.testing.assert_allclose(np.asarray(tight._samples_u),
+                               np.asarray(ref._samples_u), atol=1e-6)
+
 
 def test_mcmc_chunk_default_backend_aware():
-    """chunk_steps defaults small on TPU (remote-worker watchdog: a single
-    deep-tree NUTS step can run ~2^depth leapfrogs) and large on CPU."""
+    """Launch sizing defaults: a leapfrog budget bounds device time per
+    launch on TPU (remote-worker watchdog kills multi-minute launches);
+    CPU launches are cheap and unbudgeted."""
     import jax
     from lqg_tpu.infer.mcmc import MCMC
     from lqg_tpu.infer.models import lqg_model
@@ -313,8 +331,10 @@ def test_mcmc_chunk_default_backend_aware():
 
     x = BoundedActor(T=20).simulate(random.PRNGKey(0), n=2)
     prob = lqg_model(x, BoundedActor)
-    expected = 1 if jax.default_backend() == "tpu" else 64
-    assert MCMC(prob).chunk_steps == expected
+    on_tpu = jax.default_backend() == "tpu"
+    assert MCMC(prob).chunk_steps == (32 if on_tpu else 64)
+    assert MCMC(prob).max_leapfrogs_per_launch == (
+        1024 if on_tpu else (1 << 30))
     assert MCMC(prob, chunk_steps=7).chunk_steps == 7
 
 

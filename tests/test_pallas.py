@@ -319,3 +319,129 @@ def test_fused_ll_prime_horizon():
     g_s = jax.grad(lambda c: -BoundedActor(T=T, action_cost=c)
                    .log_likelihood(x, method="scan").sum())(jnp.float32(0.6))
     np.testing.assert_allclose(float(g_f), float(g_s), rtol=2e-3)
+
+
+# --- analytic gains adjoint kernel ---
+
+
+def _random_spec(key, B=3, n=2, m=1, p=2):
+    from lqg_tpu.utils import stationary_spec
+    ks = random.split(key, 8)
+    rnd = lambda k, sh: random.normal(k, sh) * 0.3
+    A = jnp.eye(n)[None] + 0.1 * rnd(ks[0], (B, n, n))
+    Bm = rnd(ks[1], (B, n, m)) + 0.5
+    Q = jnp.eye(n)[None] + 0.05 * rnd(ks[2], (B, n, n))
+    Q = 0.5 * (Q + mT(Q))
+    # R symmetric PD - the kernel contract (the closed-form small inverses
+    # read the upper triangle; every zoo model uses diagonal R)
+    R = jnp.eye(m)[None] * 0.8 + 0.01 * jnp.abs(rnd(ks[3], (B, m, m)))
+    R = 0.5 * (R + mT(R))
+    F = rnd(ks[4], (B, p, n)) + jnp.eye(p, n)[None]
+    V = jnp.eye(n)[None] * 0.7 + 0.05 * rnd(ks[5], (B, n, n))
+    W = jnp.eye(p)[None] * 0.9 + 0.05 * rnd(ks[6], (B, p, p))
+    return stationary_spec(A=A, B=Bm, F=F, V=V, W=W, Q=Q, R=R)
+
+
+@pytest.mark.parametrize("n,m,p,T", [(2, 1, 2, 12), (3, 2, 3, 25),
+                                     (2, 1, 2, 7)])
+def test_gains_adjoint_kernel_parity(n, m, p, T):
+    """The analytic adjoint kernel matches jax.vjp of the scan twin on
+    random cotangents (symmetric-input cotangents compared in the
+    symmetric gauge - the asymmetric part is unobservable, see
+    _gains_adjoint_call)."""
+    from lqg_tpu.ops.pallas.gains import _scan_gains, _gains_adjoint_call
+
+    key = random.PRNGKey(42 + n + T)
+    spec = _random_spec(key, B=3, n=n, m=m, p=p)
+    S0 = spec.V @ mT(spec.V)
+
+    out, vjp = jax.vjp(lambda s, S: _scan_gains(s, S, T), spec, S0)
+    ks = random.split(random.PRNGKey(7), 3)
+    cots = tuple(random.normal(k, o.shape) * 0.3 for k, o in zip(ks, out))
+    sbar_ref, s0bar_ref = vjp(cots)
+    sbar_k, s0bar_k = _gains_adjoint_call(spec, S0, T, *cots)
+
+    sym = lambda M: 0.5 * (M + mT(M))
+    # f32 accumulation-order noise between the kernel and the scan twin
+    # grows with T; on-chip numerics sit a bit further off interpret mode
+    tol = dict(rtol=5e-3, atol=5e-4) if ON_TPU else dict(rtol=1e-3,
+                                                         atol=1e-4)
+    for fld in ["A", "B", "R", "F", "V", "W"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(sbar_k, fld)),
+            np.asarray(getattr(sbar_ref, fld)), err_msg=fld, **tol)
+    for fld in ["Q", "Qf"]:
+        np.testing.assert_allclose(
+            np.asarray(sym(getattr(sbar_k, fld))),
+            np.asarray(sym(jnp.asarray(getattr(sbar_ref, fld)))),
+            err_msg=fld, **tol)
+    np.testing.assert_allclose(np.asarray(sym(s0bar_k)),
+                               np.asarray(sym(s0bar_ref)), **tol)
+
+
+def test_gains_kernel_vjp_end_to_end():
+    """jax.grad through a likelihood using the fused gains primal + the
+    analytic adjoint kernel matches the scan-twin VJP, single and
+    vmapped (the custom_vmap fold on the backward path)."""
+    import lqg_tpu.ops.pallas.gains as pg
+    import lqg_tpu.system as sysm
+
+    m0 = BoundedActor(T=60)
+    x = m0.simulate(random.PRNGKey(0), n=4)
+
+    def loss(u):
+        ac, av = u
+        m = BoundedActor(T=60, action_cost=ac, action_variability=av)
+        return jnp.sum(m.log_likelihood(x))
+
+    orig_ok = sysm.System._fused_ok
+    orig_m = pg.GAINS_VJP_METHOD
+    try:
+        sysm.System._fused_ok = lambda self: True  # engage kernel off-TPU
+        pg.GAINS_VJP_METHOD = "kernel"
+        u = jnp.array([1.0, 0.5], jnp.float32)
+        v_k, g_k = jax.value_and_grad(loss)(u)
+        pg.GAINS_VJP_METHOD = "scan"
+        v_s, g_s = jax.value_and_grad(loss)(u)
+        np.testing.assert_allclose(float(v_k), float(v_s), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_s),
+                                   rtol=5e-3 if ON_TPU else 5e-4)
+
+        us = jnp.stack([u, jnp.array([0.8, 0.6])]).astype(jnp.float32)
+        pg.GAINS_VJP_METHOD = "kernel"
+        _, gb_k = jax.vmap(jax.value_and_grad(loss))(us)
+        pg.GAINS_VJP_METHOD = "scan"
+        _, gb_s = jax.vmap(jax.value_and_grad(loss))(us)
+        np.testing.assert_allclose(np.asarray(gb_k), np.asarray(gb_s),
+                                   rtol=5e-3 if ON_TPU else 5e-4)
+    finally:
+        sysm.System._fused_ok = orig_ok
+        pg.GAINS_VJP_METHOD = orig_m
+
+
+def test_fused_ok_inside_trace():
+    """Structural-zero cost terms are recognized INSIDE jit/vmap traces, so
+    traced models (every NUTS leapfrog) take the fused gains path - round
+    3 silently fell back to the scan because jnp.zeros became tracers."""
+    from lqg_tpu.ops.pallas.gains import fused_gains_available
+
+    hits = []
+
+    def probe(ac):
+        m = BoundedActor(T=20, action_cost=ac)
+        hits.append(m._fused_ok() or not fused_gains_available(m.actor))
+        return m.actor.R.sum()
+
+    jax.make_jaxpr(probe)(jnp.float32(1.0))
+    # on CPU backends _fused_ok is False for the backend check alone; the
+    # structural-zero check must not be the blocker
+    def probe2(ac):
+        m = BoundedActor(T=20, action_cost=ac)
+        a = m.actor
+        import numpy as _np
+        hits.append(all(isinstance(z, _np.ndarray) and not z.any()
+                        for z in (a.q, a.r, a.P, a.qf)))
+        return a.R.sum()
+
+    jax.make_jaxpr(jax.vmap(probe2))(jnp.ones(2, jnp.float32))
+    assert hits[-1], "cost terms lost their concrete-zero encoding in-trace"
