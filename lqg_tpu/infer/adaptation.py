@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax, random
 
-from lqg_tpu.infer.hmc import IntegratorState, leapfrog, kinetic
+from lqg_tpu.infer.hmc import (IntegratorState, leapfrog, kinetic,
+                               sample_momentum)
 
 
 # --- dual averaging ---
@@ -54,23 +55,26 @@ def da_update(state: DualAveragingState, accept_prob,
                               grad_avg=grad_avg, t=t, mu=state.mu)
 
 
-# --- Welford variance ---
+# --- Welford variance / covariance ---
 class WelfordState(NamedTuple):
     mean: jnp.ndarray
-    m2: jnp.ndarray
+    m2: jnp.ndarray  # (zdim,) running variance or (zdim, zdim) covariance
     count: jnp.ndarray
 
 
-def welford_init(zdim):
-    return WelfordState(mean=jnp.zeros(zdim), m2=jnp.zeros(zdim),
-                        count=jnp.zeros(()))
+def welford_init(zdim, dense: bool = False):
+    m2 = jnp.zeros((zdim, zdim)) if dense else jnp.zeros(zdim)
+    return WelfordState(mean=jnp.zeros(zdim), m2=m2, count=jnp.zeros(()))
 
 
 def welford_update(state: WelfordState, x):
     count = state.count + 1.0
     delta = x - state.mean
     mean = state.mean + delta / count
-    m2 = state.m2 + delta * (x - mean)
+    if state.m2.ndim == 2:
+        m2 = state.m2 + jnp.outer(delta, x - mean)
+    else:
+        m2 = state.m2 + delta * (x - mean)
     return WelfordState(mean=mean, m2=m2, count=count)
 
 
@@ -83,11 +87,32 @@ def welford_variance(state: WelfordState, regularize: bool = True):
     return var
 
 
+def welford_mass(state: WelfordState, regularize: bool = True):
+    """Inverse-mass estimate in the representation :mod:`hmc` expects.
+
+    Diagonal accumulator -> posterior-variance vector.  Dense accumulator
+    -> lower-Cholesky factor of the (shrunk) posterior covariance, so the
+    sampler's metric whitens linear correlations (Stan's dense metric) -
+    this is what collapses hierarchical posteriors' max-depth trees that a
+    diagonal mass cannot (observed on the data.mat fit: every tree at
+    depth 10 under diag).
+    """
+    if state.m2.ndim == 1:
+        return welford_variance(state, regularize)
+    cov = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    if regularize:
+        n = state.count
+        zdim = state.mean.shape[0]
+        cov = ((n / (n + 5.0)) * cov
+               + 1e-3 * (5.0 / (n + 5.0)) * jnp.eye(zdim))
+    return jnp.linalg.cholesky(cov)
+
+
 # --- step-size search ---
 def find_reasonable_step_size(potential_fn, inv_mass, z, pe, grad, rng_key,
                               init_step=1.0, target=0.5, max_iter=60):
     """Heuristic of Hoffman & Gelman (2014), Algorithm 4."""
-    r = random.normal(rng_key, z.shape) / jnp.sqrt(inv_mass)
+    r = sample_momentum(rng_key, inv_mass, z.shape)
     energy0 = pe + kinetic(inv_mass, r)
     state0 = IntegratorState(z=z, r=r, pe=pe, grad=grad)
 

@@ -38,24 +38,45 @@ class IntegratorState(NamedTuple):
     grad: jnp.ndarray     # d pe / d z
 
 
+def velocity(inv_mass, r):
+    """dz/dt = M^-1 r.  ``inv_mass`` is either the DIAGONAL of M^-1
+    (shape ``(zdim,)``) or, for a dense metric, the lower-Cholesky factor
+    ``L`` of M^-1 = Sigma = L L^T (shape ``(zdim, zdim)``)."""
+    if inv_mass.ndim == 1:
+        return inv_mass * r
+    return inv_mass @ (inv_mass.T @ r)
+
+
+def kinetic(inv_mass, r):
+    """0.5 r^T M^-1 r for either mass representation."""
+    if inv_mass.ndim == 1:
+        return 0.5 * jnp.sum(inv_mass * r * r)
+    w = inv_mass.T @ r
+    return 0.5 * jnp.sum(w * w)
+
+
+def sample_momentum(rng_key, inv_mass, shape):
+    """r ~ N(0, M).  Dense: M = (L L^T)^-1, so r = L^-T eps."""
+    eps = random.normal(rng_key, shape)
+    if inv_mass.ndim == 1:
+        return eps / jnp.sqrt(inv_mass)
+    return jax.scipy.linalg.solve_triangular(inv_mass.T, eps, lower=False)
+
+
 def leapfrog(potential_fn: Callable, inv_mass: jnp.ndarray, step_size,
              state: IntegratorState) -> IntegratorState:
-    """One velocity-Verlet step.  ``inv_mass`` is the diagonal inverse mass."""
+    """One velocity-Verlet step (diagonal or dense inverse mass)."""
     r = state.r - 0.5 * step_size * state.grad
-    z = state.z + step_size * inv_mass * r
+    z = state.z + step_size * velocity(inv_mass, r)
     pe, grad = jax.value_and_grad(potential_fn)(z)
     r = r - 0.5 * step_size * grad
     return IntegratorState(z=z, r=r, pe=pe, grad=grad)
 
 
-def kinetic(inv_mass, r):
-    return 0.5 * jnp.sum(inv_mass * r * r)
-
-
 def _uturn(inv_mass, r_left, r_right, rho):
     """Generalized U-turn criterion on a trajectory span."""
-    v_left = inv_mass * r_left
-    v_right = inv_mass * r_right
+    v_left = velocity(inv_mass, r_left)
+    v_right = velocity(inv_mass, r_right)
     return (jnp.dot(v_left, rho) <= 0) | (jnp.dot(v_right, rho) <= 0)
 
 
@@ -221,8 +242,7 @@ def nuts_step(potential_fn: Callable, rng_key, z, pe, grad, step_size,
     depth_cap = jnp.minimum(jnp.asarray(depth_cap, jnp.int32), max_depth)
     key_mom, key_tree = random.split(rng_key)
 
-    # sample momentum r ~ N(0, M);  M = 1 / inv_mass (diagonal)
-    r0 = random.normal(key_mom, z.shape) / jnp.sqrt(inv_mass)
+    r0 = sample_momentum(key_mom, inv_mass, z.shape)
     energy0 = pe + kinetic(inv_mass, r0)
     state0 = IntegratorState(z=z, r=r0, pe=pe, grad=grad)
 

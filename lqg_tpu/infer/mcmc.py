@@ -60,6 +60,12 @@ class MCMC:
         max_depth: NUTS maximum tree depth.
         target_accept: dual-averaging target acceptance probability.
         thinning: keep every k-th sample.
+        dense_mass: adapt a DENSE inverse-mass matrix (full posterior
+            covariance, Stan's dense metric) instead of a diagonal one.
+            Default ``None`` = auto: dense for 2 <= zdim <= 64.  Linearly
+            correlated posteriors (e.g. the hierarchical data.mat fit)
+            drive every NUTS tree to max depth under a diagonal metric;
+            the dense metric whitens them.
         chunk_steps: max NUTS transitions per device launch (one compiled
             program, re-launched until done).
         max_leapfrogs_per_launch: stop a launch early once this many
@@ -81,7 +87,8 @@ class MCMC:
                  max_leapfrogs_per_launch: Optional[int] = None,
                  warmup_depth_cap: int = 7,
                  warmup_depth_cap_steps: int = 75,
-                 checkpoint_every: Optional[int] = None):
+                 checkpoint_every: Optional[int] = None,
+                 dense_mass: Optional[bool] = None):
         self.model = model
         self.num_warmup = num_warmup
         self.num_samples = num_samples
@@ -108,6 +115,8 @@ class MCMC:
         self.warmup_depth_cap = int(warmup_depth_cap)
         self.warmup_depth_cap_steps = int(warmup_depth_cap_steps)
         self.checkpoint_every = checkpoint_every
+        self.dense_mass = dense_mass
+        self._dense = False  # resolved against zdim in run()
         self._samples_u = None
         self._extra = None
 
@@ -119,7 +128,7 @@ class MCMC:
         key_init, key_ss, key_run = random.split(rng_key, 3)
 
         pe0, grad0 = jax.value_and_grad(potential)(z0)
-        inv_mass0 = jnp.ones(zdim)
+        inv_mass0 = jnp.eye(zdim) if self._dense else jnp.ones(zdim)
         step0 = adapt.find_reasonable_step_size(
             potential, inv_mass0, z0, pe0, grad0, key_ss)
 
@@ -127,7 +136,7 @@ class MCMC:
             z=z0, pe=pe0, grad=grad0,
             step_size=step0, inv_mass=inv_mass0,
             da=adapt.da_init(step0),
-            welford=adapt.welford_init(zdim),
+            welford=adapt.welford_init(zdim, dense=self._dense),
             rng_key=key_run,
         )
 
@@ -156,16 +165,16 @@ class MCMC:
             lambda old, new: jnp.where(in_win, new, old),
             state.welford, adapt.welford_update(state.welford, z))
 
-        # close a slow window: adopt the variance as inverse mass,
-        # reset the accumulator and restart dual averaging
-        new_mass = adapt.welford_variance(welford)
+        # close a slow window: adopt the variance/covariance as inverse
+        # mass, reset the accumulator and restart dual averaging
+        new_mass = adapt.welford_mass(welford)
         inv_mass = jnp.where(win_end, new_mass, state.inv_mass)
         da_reset = adapt.da_init(jnp.exp(da.log_step_avg))
         da = jax.tree.map(lambda r, c: jnp.where(win_end, r, c),
                           da_reset, da)
         welford = jax.tree.map(
             lambda w, fresh: jnp.where(win_end, fresh, w),
-            welford, adapt.welford_init(zdim))
+            welford, adapt.welford_init(zdim, dense=self._dense))
         step_size = jnp.where(win_end, jnp.exp(da.log_step), step_size)
 
         # end of warmup: freeze the dual-averaged step size
@@ -268,6 +277,9 @@ class MCMC:
             ckpt_every = max(1, 128 // chunk)
 
         u0 = self.model.init_unconstrained()
+        zdim = u0.shape[0]
+        self._dense = (self.dense_mass if self.dense_mass is not None
+                       else 2 <= zdim <= 64)
         keys = random.split(rng_key, self.num_chains + 1)
         jitter = self.init_jitter * random.uniform(
             keys[0], (self.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
@@ -367,7 +379,8 @@ class MCMC:
         return np.array([self.num_warmup, self.num_samples, self.num_chains,
                          self.thinning, self.max_depth,
                          min(self.warmup_depth_cap, self.max_depth),
-                         min(self.warmup_depth_cap_steps, self.num_warmup)])
+                         min(self.warmup_depth_cap_steps, self.num_warmup),
+                         int(self._dense)])
 
     @staticmethod
     def _chunk_path(path, c):

@@ -51,7 +51,7 @@ def sharded_log_likelihood(model_builder: Callable, x, mesh: Mesh,
 
 
 def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains",
-                       checkpoint_path=None):
+                       checkpoint_path=None, **run_kwargs):
     """Run an :class:`lqg_tpu.infer.mcmc.MCMC` with chains sharded over a
     mesh axis.
 
@@ -70,7 +70,7 @@ def sharded_chains_run(mcmc, rng_key, mesh: Mesh, axis: str = "chains",
             f"{axis!r} of size {axis_size}")
     return mcmc.run(rng_key,
                     chain_sharding=NamedSharding(mesh, P(axis)),
-                    checkpoint_path=checkpoint_path)
+                    checkpoint_path=checkpoint_path, **run_kwargs)
 
 
 def sequence_parallel_log_likelihood(system, x, mesh: Mesh, axis: str = "sp"):

@@ -44,6 +44,17 @@ def parse_args(args=None):
                              "from it if present)")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (cpu/tpu)")
+    parser.add_argument("--neutra", type=str, default="none",
+                        choices=["none", "mvn", "iaf"],
+                        help="NeuTra preconditioning: fit a variational "
+                             "guide (full-rank Gaussian or IAF flow) and "
+                             "run NUTS in the whitened space.  The "
+                             "hierarchical posterior's correlations "
+                             "otherwise drive every tree to max depth "
+                             "(~2^10 leapfrogs/step) under the diagonal "
+                             "mass matrix")
+    parser.add_argument("--neutra-steps", type=int, default=3000,
+                        help="SVI steps for the NeuTra guide fit")
     parser.add_argument(
         "--shared_params", type=str, nargs="*",
         default=["action_variability", "action_cost", "sigma_cursor",
@@ -77,6 +88,24 @@ if __name__ == "__main__":
     print("data:", data.shape, "blob widths:", bws)
 
     prob_model = shared_params_lqg_model(data, Model, shared_params=shared)
+
+    if args.neutra != "none":
+        import time as _time
+
+        from lqg_tpu.infer.utils import neutra_reparam
+
+        t0 = _time.perf_counter()
+        if args.neutra == "mvn":
+            from lqg_tpu.infer.svi import fit_auto_mvn as fit_guide
+        else:
+            from lqg_tpu.infer.flows import fit_auto_iaf as fit_guide
+        guide, losses = fit_guide(prob_model, random.PRNGKey(args.seed + 1),
+                                  steps=args.neutra_steps)
+        print(f"[neutra] {args.neutra} guide fit: {args.neutra_steps} SVI "
+              f"steps in {_time.perf_counter() - t0:.1f}s, final ELBO "
+              f"{-float(losses[-1]):.1f}", flush=True)
+        prob_model = neutra_reparam(prob_model, guide)
+
     mcmc = MCMC(prob_model, num_warmup=args.nburnin,
                 num_samples=args.nsamp, num_chains=args.nchain,
                 max_depth=args.max_depth, progress=True)
