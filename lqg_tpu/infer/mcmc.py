@@ -293,6 +293,18 @@ class MCMC:
         init_fn = jax.jit(jax.vmap(self._init_chain))
         launch_fn = self._make_launch(total, chunk)
 
+        def to_host(a):
+            # multi-process (jax.distributed) runs shard the chain axis
+            # across processes: replicate before host transfer so every
+            # process holds the full draws/state (needed for streaming
+            # checkpoints and result assembly)
+            if (chain_sharding is not None and isinstance(a, jax.Array)
+                    and not a.is_fully_addressable):
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(chain_sharding.mesh, PartitionSpec())
+                a = jax.device_put(a, rep)
+            return np.asarray(a)
+
         state = init_fn(chain_keys, z0)
         outs_host = []      # list of 6-tuples of (steps_k, chains, ...) arrays
         pending = []        # buffered since the last checkpoint write
@@ -318,8 +330,8 @@ class MCMC:
         while steps_done < total:
             state, idx, outs, valid = launch_fn(
                 state, jnp.asarray(steps_done, jnp.int32), flags, caps)
-            n_valid = int(np.asarray(valid).sum())
-            host_out = tuple(np.asarray(o[:n_valid]) for o in outs)
+            n_valid = int(to_host(valid).sum())
+            host_out = tuple(to_host(o[:n_valid]) for o in outs)
             outs_host.append(host_out)
             pending.append(host_out)
             steps_done = int(idx)
@@ -329,7 +341,7 @@ class MCMC:
                     launches % ckpt_every == 0 or steps_done >= total):
                 n_files = self._save_run_checkpoint(
                     checkpoint_path, state, pending, steps_done,
-                    nonce, n_files)
+                    nonce, n_files, to_host=to_host)
                 pending = []
             if self.progress:
                 acc = float(np.mean(host_out[1])) if n_valid else float("nan")
@@ -343,7 +355,7 @@ class MCMC:
                 if checkpoint_path is not None and pending:
                     n_files = self._save_run_checkpoint(
                         checkpoint_path, state, pending, steps_done,
-                        nonce, n_files)
+                        nonce, n_files, to_host=to_host)
                 return None
 
         # concat per-launch outputs along the step axis, chains to front
@@ -391,6 +403,9 @@ class MCMC:
         path left behind, so they can never be mistaken for this run's."""
         import glob
 
+        if jax.process_index() != 0:
+            return
+
         for p in glob.glob(f"{path}.chunk_*.npz"):
             try:
                 os.remove(p)
@@ -409,12 +424,19 @@ class MCMC:
         os.replace(tmp, path)
 
     def _save_run_checkpoint(self, path, state, pending, steps_done,
-                             nonce, n_files):
+                             nonce, n_files, to_host=np.asarray):
         """Streaming checkpoint: draws buffered since the last write go to
         ONE nonce-stamped side file (``{path}.chunk_NNNNN.npz``, always
         overwritten - never trusted from a previous run); the small
         chain-state file at ``path`` is atomically replaced afterwards.
-        Returns the new side-file count."""
+        Returns the new side-file count.  In multi-process runs only
+        process 0 touches the filesystem (every process holds the same
+        replicated data, see ``to_host``)."""
+        # the host gather below is a COLLECTIVE in multi-process runs:
+        # every process must participate before the I/O guard
+        leaves = [to_host(l) for l in jax.tree_util.tree_leaves(state)]
+        if jax.process_index() != 0:
+            return n_files + 1
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = {"nonce": nonce}
         for i in range(6):
@@ -423,13 +445,12 @@ class MCMC:
         self._atomic_savez(self._chunk_path(path, n_files), payload)
         n_files += 1
 
-        leaves = jax.tree_util.tree_leaves(state)
         main = {"config": self._ckpt_config(),
                 "nonce": nonce,
                 "steps_done": np.array(steps_done),
                 "n_files": np.array(n_files)}
         for i, leaf in enumerate(leaves):
-            main[f"state_{i}"] = np.asarray(leaf)
+            main[f"state_{i}"] = leaf
         self._atomic_savez(path, main)
         return n_files
 

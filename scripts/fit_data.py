@@ -55,6 +55,9 @@ def parse_args(args=None):
                              "mass matrix")
     parser.add_argument("--neutra-steps", type=int, default=3000,
                         help="SVI steps for the NeuTra guide fit")
+    parser.add_argument("--max-leapfrogs", type=int, default=None,
+                        help="Leapfrog budget per device launch (bounds "
+                             "per-launch device time; default 1024 on TPU)")
     parser.add_argument(
         "--shared_params", type=str, nargs="*",
         default=["action_variability", "action_cost", "sigma_cursor",
@@ -108,7 +111,8 @@ if __name__ == "__main__":
 
     mcmc = MCMC(prob_model, num_warmup=args.nburnin,
                 num_samples=args.nsamp, num_chains=args.nchain,
-                max_depth=args.max_depth, progress=True)
+                max_depth=args.max_depth, progress=True,
+                max_leapfrogs_per_launch=args.max_leapfrogs)
     mcmc.run(random.PRNGKey(args.seed), checkpoint_path=args.checkpoint)
     mcmc.print_summary()
 

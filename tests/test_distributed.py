@@ -47,7 +47,7 @@ def test_two_process_sharded_likelihood(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
             outs.append(out.decode())
     finally:
         for p in procs:
@@ -74,3 +74,11 @@ def test_two_process_sharded_likelihood(tmp_path):
     expected = float(
         BoundedActor(T=T, action_cost=0.7).log_likelihood(x).sum())
     np.testing.assert_allclose(totals[0], expected, rtol=2e-5)
+
+    # phase 2 (chain-sharded NUTS + cross-process checkpoint resume): both
+    # processes finish and agree on the resumed draws
+    mcmc_sums = []
+    for i in range(nproc):
+        with open(f"{outfile}.mcmc.{i}") as f:
+            mcmc_sums.append(float(f.read()))
+    assert mcmc_sums[0] == pytest.approx(mcmc_sums[1], rel=1e-6)
