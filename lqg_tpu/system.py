@@ -327,20 +327,22 @@ class System:
         joint = self._joint(Sigma0)
         if method == "auto":
             from lqg_tpu.ops.pallas.likelihood import fused_ll_available
+            from lqg_tpu.ops.pallas.likelihood_blocked import (
+                blocked_ll_available)
 
             j = joint.F.shape[-1]
             on_tpu = jax.default_backend() == "tpu"
             if (on_tpu and joint.F.ndim == 3
                     and fused_ll_available(j, d, joint.F.dtype)):
                 method = "fused"
-            else:
+            elif (on_tpu and joint.F.ndim == 3
+                    and blocked_ll_available(j, d, x.shape[0],
+                                             joint.F.dtype)):
                 # large-j models (delay registers: j ~ 26-65) exceed the
-                # fused kernel's scope.  Measured on TPU v5e
-                # (docs/perf.md): the compiled sequential scan beats the
-                # associative scan ~4x for j=65 (the O(log T) depth does
-                # not pay for the 2jx2j per-element solves at this j), so
-                # the scan stays the default; use method="pscan" only to
-                # shard very long horizons over a mesh.
+                # per-element-lane kernel's scope; the blocked kernel runs
+                # the recursion as (128, 128) MXU tiles instead
+                method = "blocked"
+            else:
                 method = "scan"
         if method == "fused":
             from lqg_tpu.ops.pallas.likelihood import (
@@ -349,13 +351,21 @@ class System:
             Q = joint.G @ mT(joint.G)
             return conditioned_log_likelihood_fused(
                 joint.F[None], Q[None], x[None])[0]
+        if method == "blocked":
+            from lqg_tpu.ops.pallas.likelihood_blocked import (
+                conditioned_log_likelihood_blocked)
+
+            Q = joint.G @ mT(joint.G)
+            return conditioned_log_likelihood_blocked(
+                joint.F[None], Q[None], x[None])[0]
         if method == "pscan":
             from lqg_tpu.parallel.pscan import trial_log_likelihood_assoc
 
             return trial_log_likelihood_assoc(joint, x)
         if method != "scan":
             raise ValueError(
-                f"method must be auto|fused|scan|pscan, got {method!r}")
+                f"method must be auto|fused|blocked|scan|pscan, "
+                f"got {method!r}")
         kernel = gaussian.conditional_kernel(joint, d)
         return gaussian.trial_log_likelihood(kernel, x)
 

@@ -445,3 +445,59 @@ def test_fused_ok_inside_trace():
 
     jax.make_jaxpr(jax.vmap(probe2))(jnp.ones(2, jnp.float32))
     assert hits[-1], "cost terms lost their concrete-zero encoding in-trace"
+
+
+# --- blocked (MXU-tile) large-j likelihood kernel ---
+
+
+@pytest.mark.parametrize("delay,T,n", [
+    (None, 24, 3),              # DelayedSubjectiveActor (delay 12): j = 65
+    (4, 13, 2),                 # prime T (tc fallback), j = 25
+])
+def test_blocked_ll_parity(delay, T, n):
+    """The blocked kernel matches the sequential scan for delay models
+    (j = 25-65), value and (twin) gradient."""
+    from lqg_tpu.models.delay import (DelayedSubjectiveActor,
+                                      TemporalDelayModel)
+    from lqg_tpu.ops.pallas.likelihood_blocked import (
+        _blocked_ll_call, conditioned_log_likelihood_blocked)
+
+    if delay is None:
+        m = DelayedSubjectiveActor(T=T)
+    else:
+        m = TemporalDelayModel(SubjectiveActor(T=T), delay=delay)
+    joint = m._joint()
+    x = m.simulate(random.PRNGKey(0), n=n)[..., :2]
+    F = joint.F[None]
+    Q = (joint.G @ mT(joint.G))[None]
+    X = x[None]
+
+    ll_ref = m.log_likelihood(x, method="scan")
+    ll_blk = _blocked_ll_call(F, Q, X)[0]
+    np.testing.assert_allclose(np.asarray(ll_blk), np.asarray(ll_ref),
+                               rtol=2e-3, atol=0.2)
+
+    # gradient (scan-twin VJP) finite and matching the scan path's grad
+    def loss_blocked(Fq):
+        return jnp.sum(conditioned_log_likelihood_blocked(Fq, Q, X))
+
+    def loss_scan(Fq):
+        from lqg_tpu.ops.pallas.likelihood_blocked import _scan_twin
+        return jnp.sum(_scan_twin(Fq, Q, X))
+
+    g_b = jax.grad(loss_blocked)(F)
+    g_s = jax.grad(loss_scan)(F)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_ll_system_dispatch():
+    """System.log_likelihood(method='blocked') equals the scan path."""
+
+    from lqg_tpu.models.delay import TemporalDelayModel
+    m = TemporalDelayModel(SubjectiveActor(T=20), delay=6)
+    x = m.simulate(random.PRNGKey(1), n=2)[..., :2]
+    ll_b = m.log_likelihood(x, method="blocked")
+    ll_s = m.log_likelihood(x, method="scan")
+    np.testing.assert_allclose(np.asarray(ll_b), np.asarray(ll_s),
+                               rtol=2e-3, atol=0.2)
