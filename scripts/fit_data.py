@@ -58,6 +58,23 @@ def parse_args(args=None):
     parser.add_argument("--max-leapfrogs", type=int, default=None,
                         help="Leapfrog budget per device launch (bounds "
                              "per-launch device time; default 1024 on TPU)")
+    parser.add_argument("--init", type=str, default="median",
+                        choices=["median", "map"],
+                        help="Chain initialization: prior median (reference "
+                             "init_to_median parity) or a MAP point fit. "
+                             "The data.mat posterior is MULTIMODAL (target "
+                             "vs cursor observation noise trade off); "
+                             "median-initialized chains land in different "
+                             "basins and r-hat diverges across them - "
+                             "init=map starts all chains in the MAP's "
+                             "basin, which carries the published "
+                             "sigma_target-vs-blob-width trend")
+    parser.add_argument("--map-steps", type=int, default=1500,
+                        help="Adam steps for the MAP fit (--init map)")
+    parser.add_argument("--init-jitter", type=float, default=0.2,
+                        help="Uniform jitter around the init point in "
+                             "unconstrained space (use ~0.02 with "
+                             "--init map to stay in-basin)")
     parser.add_argument(
         "--shared_params", type=str, nargs="*",
         default=["action_variability", "action_cost", "sigma_cursor",
@@ -73,6 +90,7 @@ if __name__ == "__main__":
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    import jax.numpy as jnp
     from jax import random
 
     from lqg_tpu import tracking
@@ -109,9 +127,27 @@ if __name__ == "__main__":
               f"{-float(losses[-1]):.1f}", flush=True)
         prob_model = neutra_reparam(prob_model, guide)
 
+    if args.init == "map":
+        import time as _time
+
+        from lqg_tpu.infer.svi import optimize
+
+        t0 = _time.perf_counter()
+        map_params, losses = optimize(prob_model, steps=args.map_steps,
+                                      step_size=0.05)
+        prob_model.init = {k: jnp.asarray(v)
+                           for k, v in map_params.items()}
+        print(f"[map] {args.map_steps} Adam steps in "
+              f"{_time.perf_counter() - t0:.1f}s, potential "
+              f"{float(losses[-1]):.1f}; init at MAP:", flush=True)
+        print("      " + ", ".join(f"{k}={float(v):.4g}"
+                                   for k, v in map_params.items()),
+              flush=True)
+
     mcmc = MCMC(prob_model, num_warmup=args.nburnin,
                 num_samples=args.nsamp, num_chains=args.nchain,
                 max_depth=args.max_depth, progress=True,
+                init_jitter=args.init_jitter,
                 max_leapfrogs_per_launch=args.max_leapfrogs)
     mcmc.run(random.PRNGKey(args.seed), checkpoint_path=args.checkpoint)
     mcmc.print_summary()

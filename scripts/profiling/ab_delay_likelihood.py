@@ -64,14 +64,19 @@ def main():
 
     v_scan = nll(jnp.float32(0.5), "scan")
     v_pscan = nll(jnp.float32(0.5), "pscan")
+    v_blk = nll(jnp.float32(0.5), "blocked")
     print(f"parity: scan {float(v_scan):.4f} pscan {float(v_pscan):.4f} "
-          f"rel {abs(float((v_scan - v_pscan) / v_scan)):.3g}", flush=True)
+          f"blocked {float(v_blk):.4f} "
+          f"rel(blk) {abs(float((v_scan - v_blk) / v_scan)):.3g}", flush=True)
 
     g_scan = jax.grad(nll)
-    timed(lambda c: nll(c, "scan"), "value [scan] ", jnp.float32(0.5))
-    timed(lambda c: nll(c, "pscan"), "value [pscan]", jnp.float32(0.5))
-    timed(lambda c: g_scan(c, "scan"), "grad  [scan] ", jnp.float32(0.5))
-    timed(lambda c: g_scan(c, "pscan"), "grad  [pscan]", jnp.float32(0.5))
+    timed(lambda c: nll(c, "scan"), "value [scan]   ", jnp.float32(0.5))
+    timed(lambda c: nll(c, "pscan"), "value [pscan]  ", jnp.float32(0.5))
+    timed(lambda c: nll(c, "blocked"), "value [blocked]", jnp.float32(0.5))
+    timed(lambda c: g_scan(c, "scan"), "grad  [scan]   ", jnp.float32(0.5))
+    timed(lambda c: g_scan(c, "pscan"), "grad  [pscan]  ", jnp.float32(0.5))
+    timed(lambda c: g_scan(c, "blocked"), "grad  [blocked]",
+          jnp.float32(0.5))
 
 
 if __name__ == "__main__":
