@@ -66,6 +66,14 @@ class MCMC:
             correlated posteriors (e.g. the hierarchical data.mat fit)
             drive every NUTS tree to max depth under a diagonal metric;
             the dense metric whitens them.
+        init_inv_mass: start from this inverse mass instead of identity -
+            ``(zdim,)`` variances or ``(zdim, zdim)`` lower-Cholesky of the
+            posterior covariance.  Empirical preconditioning: feed a
+            previous run's (even poorly mixed) draw covariance back in.
+        adapt_mass: set False to keep ``init_inv_mass`` fixed (warmup then
+            adapts the step size only) - windowed re-estimation would
+            overwrite a good externally supplied metric with one made from
+            autocorrelated early draws.
         chunk_steps: max NUTS transitions per device launch (one compiled
             program, re-launched until done).
         max_leapfrogs_per_launch: stop a launch early once this many
@@ -88,7 +96,8 @@ class MCMC:
                  warmup_depth_cap: int = 7,
                  warmup_depth_cap_steps: int = 75,
                  checkpoint_every: Optional[int] = None,
-                 dense_mass: Optional[bool] = None):
+                 dense_mass: Optional[bool] = None,
+                 init_inv_mass=None, adapt_mass: bool = True):
         self.model = model
         self.num_warmup = num_warmup
         self.num_samples = num_samples
@@ -116,6 +125,9 @@ class MCMC:
         self.warmup_depth_cap_steps = int(warmup_depth_cap_steps)
         self.checkpoint_every = checkpoint_every
         self.dense_mass = dense_mass
+        self.init_inv_mass = (None if init_inv_mass is None
+                              else jnp.asarray(init_inv_mass))
+        self.adapt_mass = adapt_mass
         self._dense = False  # resolved against zdim in run()
         self._samples_u = None
         self._extra = None
@@ -128,7 +140,10 @@ class MCMC:
         key_init, key_ss, key_run = random.split(rng_key, 3)
 
         pe0, grad0 = jax.value_and_grad(potential)(z0)
-        inv_mass0 = jnp.eye(zdim) if self._dense else jnp.ones(zdim)
+        if self.init_inv_mass is not None:
+            inv_mass0 = self.init_inv_mass
+        else:
+            inv_mass0 = jnp.eye(zdim) if self._dense else jnp.ones(zdim)
         step0 = adapt.find_reasonable_step_size(
             potential, inv_mass0, z0, pe0, grad0, key_ss)
 
@@ -198,6 +213,9 @@ class MCMC:
         win_end[:self.num_warmup] = np.asarray(window_end)
         flags = np.stack([is_warmup, in_win, win_end, freeze], axis=1)
 
+        if not self.adapt_mass:
+            flags[:, 1] = False   # never accumulate
+            flags[:, 2] = False   # never adopt a new mass
         caps = np.full(total, self.max_depth, dtype=np.int32)
         n_cap = min(self.warmup_depth_cap_steps, self.num_warmup)
         caps[:n_cap] = min(self.warmup_depth_cap, self.max_depth)
@@ -278,8 +296,11 @@ class MCMC:
 
         u0 = self.model.init_unconstrained()
         zdim = u0.shape[0]
-        self._dense = (self.dense_mass if self.dense_mass is not None
-                       else 2 <= zdim <= 64)
+        if self.init_inv_mass is not None:
+            self._dense = self.init_inv_mass.ndim == 2
+        else:
+            self._dense = (self.dense_mass if self.dense_mass is not None
+                           else 2 <= zdim <= 64)
         keys = random.split(rng_key, self.num_chains + 1)
         jitter = self.init_jitter * random.uniform(
             keys[0], (self.num_chains, u0.shape[0]), minval=-1.0, maxval=1.0)
@@ -392,7 +413,7 @@ class MCMC:
                          self.thinning, self.max_depth,
                          min(self.warmup_depth_cap, self.max_depth),
                          min(self.warmup_depth_cap_steps, self.num_warmup),
-                         int(self._dense)])
+                         int(self._dense), int(self.adapt_mass)])
 
     @staticmethod
     def _chunk_path(path, c):

@@ -75,6 +75,12 @@ def parse_args(args=None):
                         help="Uniform jitter around the init point in "
                              "unconstrained space (use ~0.02 with "
                              "--init map to stay in-basin)")
+    parser.add_argument("--precondition", type=str, default=None,
+                        help="Empirical preconditioning: netcdf posterior "
+                             "from a previous run; its pooled draw "
+                             "covariance (unconstrained space) becomes a "
+                             "FIXED dense inverse mass (warmup adapts the "
+                             "step size only)")
     parser.add_argument(
         "--shared_params", type=str, nargs="*",
         default=["action_variability", "action_cost", "sigma_cursor",
@@ -144,11 +150,33 @@ if __name__ == "__main__":
                                    for k, v in map_params.items()),
               flush=True)
 
+    mass_kwargs = {}
+    if args.precondition:
+        import numpy as np
+
+        from lqg_tpu.results import load_netcdf
+
+        prev = load_netcdf(args.precondition)
+        U = np.stack([
+            np.asarray(prob_model.transforms[name].inverse(jnp.asarray(
+                np.asarray(prev[name], dtype=np.float64).reshape(-1))))
+            for name in prob_model.names])            # (zdim, draws)
+        cov = np.cov(U)
+        cov = cov + 1e-8 * np.eye(cov.shape[0])
+        L = np.linalg.cholesky(0.5 * (cov + cov.T))
+        mass_kwargs = dict(init_inv_mass=jnp.asarray(L, jnp.float32),
+                           adapt_mass=False)
+        print(f"[precondition] fixed dense mass from {args.precondition} "
+              f"({U.shape[1]} draws); sqrt diag cov: "
+              + np.array2string(np.sqrt(np.diag(cov)), precision=4),
+              flush=True)
+
     mcmc = MCMC(prob_model, num_warmup=args.nburnin,
                 num_samples=args.nsamp, num_chains=args.nchain,
                 max_depth=args.max_depth, progress=True,
                 init_jitter=args.init_jitter,
-                max_leapfrogs_per_launch=args.max_leapfrogs)
+                max_leapfrogs_per_launch=args.max_leapfrogs,
+                **mass_kwargs)
     mcmc.run(random.PRNGKey(args.seed), checkpoint_path=args.checkpoint)
     mcmc.print_summary()
 
