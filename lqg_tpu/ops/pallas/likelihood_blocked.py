@@ -122,7 +122,9 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
         t_global = c * tc + i
         mask = jnp.where(t_global >= 1, 1.0, 0.0)
         acc_scr[0, :] = acc_scr[0, :] + mask * quad
-        acc_scr[1, 0] = acc_scr[1, 0] + mask * ld
+        # logdet is a scalar; carry it broadcast across a lane row (Mosaic
+        # cannot store scalars to VMEM)
+        acc_scr[1, :] = acc_scr[1, :] + mask * ld
 
         FS = jnp.dot(F, Sig, preferred_element_type=jnp.float32)
         J = jnp.dot(FS, Sinv, preferred_element_type=jnp.float32)
@@ -138,7 +140,8 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
     @pl.when(c == n_chunks - 1)
     def _():
         quad, ld, _, _ = score(Sig_scr[...], MU_scr[...], xT_ref[0])
-        total = acc_scr[0, :] + quad + acc_scr[1, 0] + ld + T * d * _LOG_2PI
+        total = (acc_scr[0, :] + quad + acc_scr[1, :] + ld
+                 + T * d * _LOG_2PI)
         ll_ref[...] = jnp.broadcast_to((-0.5 * total)[None], (BD, 128))
 
 
