@@ -111,7 +111,8 @@ class MCMC:
         # Launch sizing: the leapfrog budget (not chunk_steps) is what
         # bounds device time per launch, so chunk_steps can be generous.
         # On TPU the budget defaults to 1024 batched leapfrogs (~20 s at
-        # the heaviest shipped model's 17.7 ms value+grad); a single
+        # a ~20 ms/leapfrog delay-model workload; far less for the fused
+        # small-j models at ~3-4 ms); a single
         # early-warmup max_depth=10 step could otherwise run 2^10
         # leapfrogs and multi-step launches of such steps were observed to
         # trip the remote-TPU watchdog (BENCH_notes_r3.json).

@@ -6,8 +6,9 @@ gradient.  The XLA implementation (:mod:`lqg_tpu.ops.gaussian`) runs
 ``lax.scan`` s over T whose per-step cost is bound by the strictly
 sequential chain of tiny (j x j) matrix ops (~20 us/step measured on TPU
 v5e); the fused kernel below runs the same recursion at ~3.5 us/step,
-~4x faster for value+grad at T=1000 (measured: docs/perf.md,
-BENCH_notes_r3.json).
+~4x faster for value+grad at T=1000; with the analytic gains adjoint
+kernel engaged the full NUTS leapfrog sits at ~2.9 ms vs round 3's
+17.7 ms (measured: docs/perf.md, BENCH_notes_r4.json).
 
 This module keeps the WHOLE conditioned/marginalized recursion on-chip:
 
@@ -25,8 +26,9 @@ This module keeps the WHOLE conditioned/marginalized recursion on-chip:
 
 Scope: joint dim ``j <= 12``, observed dim ``d <= 4``, float32 - every
 shipped tracking model at dim=1 and dim=2 fits; deeper models (delay
-registers) fall back to the XLA path automatically (see
-``fused_ll_available``).
+registers) route to the blocked MXU-tile kernel
+(:mod:`lqg_tpu.ops.pallas.likelihood_blocked`) or the XLA scan
+automatically (see ``fused_ll_available`` / ``blocked_ll_available``).
 """
 
 from __future__ import annotations
