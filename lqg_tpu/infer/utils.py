@@ -20,7 +20,8 @@ from lqg_tpu.infer.svi import fit_auto_mvn
 def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
           process_noise=1.0, dt=1.0 / 60, method="nuts", progress_bar=True,
           num_chains=1, seed=0, max_depth=10, neutra_steps=5000,
-          neutra_guide="iaf", checkpoint_path=None, **fixed) -> MCMC:
+          neutra_guide="iaf", checkpoint_path=None, mcmc_kwargs=None,
+          **fixed) -> MCMC:
     """Sample the posterior over model parameters given trajectories ``x``.
 
     Args:
@@ -39,6 +40,9 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
         num_chains: chains, vmapped on-device.
         checkpoint_path: persist the in-flight run there after every chunk
             and resume a compatible checkpoint (see :meth:`MCMC.run`).
+        mcmc_kwargs: extra :class:`MCMC` constructor options
+            (``dense_mass``, ``max_leapfrogs_per_launch``, ``chunk_steps``,
+            ``init_inv_mass``, ``adapt_mass``, ``checkpoint_every``, ...).
 
     Returns:
         a run :class:`MCMC` object (``get_samples``, ``summary``...).
@@ -69,7 +73,7 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
 
     mcmc = MCMC(prob_model, num_warmup=num_warmup, num_samples=num_samples,
                 num_chains=num_chains, max_depth=max_depth,
-                progress=progress_bar)
+                progress=progress_bar, **(mcmc_kwargs or {}))
     mcmc.run(random.PRNGKey(seed), checkpoint_path=checkpoint_path)
     return mcmc
 
