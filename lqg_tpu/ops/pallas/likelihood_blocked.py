@@ -164,11 +164,6 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
         ll_ref[...] = jnp.broadcast_to((-0.5 * total)[None], (BD, 128))
 
 
-def _unused_small_inv_ref():
-    """Keep :func:`_small_inv_det` referenced for d in (1, 3, 4)."""
-    return _small_inv_det
-
-
 def blocked_ll_available(j: int, d: int, n: int, dtype) -> bool:
     return 12 < j <= BJ and d <= 4 and n <= 128 and dtype == jnp.float32
 
