@@ -79,18 +79,27 @@ def main():
     # compile + warm
     float(solve_many(spec, Sigma0))
 
-    t0 = time.perf_counter()
-    n_outer = 3
-    for _ in range(n_outer):
-        acc = float(solve_many(spec, Sigma0))
-    dt = (time.perf_counter() - t0) / (n_outer * REPS)
-
-    solves_per_s = BATCH / dt
+    # Median of N_TIMED independent timed repetitions with recorded spread:
+    # the chip is tunnel-attached and a single measurement can swing ~15%
+    # minute to minute, so the reported value is a median, not one draw.
+    n_timed = 7
+    rates = []
+    for _ in range(n_timed):
+        t0 = time.perf_counter()
+        float(solve_many(spec, Sigma0))
+        dt = (time.perf_counter() - t0) / REPS
+        rates.append(BATCH / dt)
+    rates.sort()
+    median = rates[n_timed // 2]
     print(json.dumps({
         "metric": "lqg_forward_backward_solves_per_s_chip_T1000",
-        "value": round(solves_per_s, 1),
+        "value": round(median, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / TARGET, 3),
+        "vs_baseline": round(median / TARGET, 3),
+        "n_reps": n_timed,
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
+        "spread_pct": round(100.0 * (rates[-1] - rates[0]) / median, 1),
     }))
 
 

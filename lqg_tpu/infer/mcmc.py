@@ -278,7 +278,10 @@ class MCMC:
                 resumed from instead of starting over.  Resume is exact:
                 transitions are keyed by a global step index, so launch
                 boundaries (and even a different ``chunk_steps``) do not
-                change the sampled trajectory.
+                change the sampled trajectory.  In multi-process runs the
+                path must be on a filesystem shared by all processes
+                (process 0 writes, every process reads on resume; a
+                divergent read raises instead of deadlocking).
             chain_sharding: optional ``jax.sharding.Sharding`` for the chain
                 axis; per-chain keys and initial positions are placed with
                 it, so XLA partitions the whole warmup+sampling program SPMD
@@ -347,6 +350,24 @@ class MCMC:
                           f"from {checkpoint_path}", flush=True)
             else:
                 self._clean_orphan_chunks(checkpoint_path)
+            if jax.process_count() > 1:
+                # every process read checkpoint_path independently; if the
+                # path is not on a shared filesystem the processes can take
+                # divergent resume/fresh-start decisions and the subsequent
+                # collectives deadlock.  Cross-check the resume step against
+                # process 0 and fail loudly instead.
+                from jax.experimental import multihost_utils
+
+                p0_step = int(multihost_utils.broadcast_one_to_all(
+                    np.int64(steps_done)))
+                if p0_step != steps_done:
+                    raise RuntimeError(
+                        f"multi-process checkpoint resume diverged: process "
+                        f"0 is at step {p0_step} but process "
+                        f"{jax.process_index()} read step {steps_done} from "
+                        f"{checkpoint_path}. checkpoint_path must be on a "
+                        f"filesystem shared by all processes (process 0 "
+                        f"writes, every process reads)")
 
         launches = 0
         while steps_done < total:

@@ -19,7 +19,7 @@ from lqg_tpu.infer.svi import fit_auto_mvn
 
 def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
           process_noise=1.0, dt=1.0 / 60, method="nuts", progress_bar=True,
-          num_chains=1, seed=0, max_depth=10, neutra_steps=5000,
+          num_chains=4, seed=0, max_depth=10, neutra_steps=5000,
           neutra_guide="iaf", checkpoint_path=None, mcmc_kwargs=None,
           **fixed) -> MCMC:
     """Sample the posterior over model parameters given trajectories ``x``.
@@ -37,7 +37,9 @@ def infer(x, num_samples, num_warmup, model=None, model_fn=lifted_model,
             ``"iaf"`` (masked autoregressive flow,
             :func:`lqg_tpu.infer.flows.fit_auto_iaf`) or ``"mvn"``
             (full-rank Gaussian).
-        num_chains: chains, vmapped on-device.
+        num_chains: chains, vmapped on-device (default 4, matching the
+            reference CLIs' ``numpyro.set_host_device_count(4)`` +
+            ``--nchain 4``, ``main.py:8,24``).
         checkpoint_path: persist the in-flight run there after every chunk
             and resume a compatible checkpoint (see :meth:`MCMC.run`).
         mcmc_kwargs: extra :class:`MCMC` constructor options

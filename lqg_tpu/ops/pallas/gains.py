@@ -497,9 +497,45 @@ def _gains_fwd_cv(horizon: int):
     return cv
 
 
+def _require_zero_affine_costs(spec: LQGSpec):
+    """Best-effort precondition check: the fused kernel (and its analytic
+    adjoint, which emits hard-zero cotangents for these fields) ignores the
+    affine/cross cost terms ``q, qf, P, r`` - they MUST be structurally
+    zero, or both the primal gains and their gradients are silently wrong.
+
+    Raises on provably nonzero concrete values; tracers (already inside an
+    outer jit) cannot be inspected and remain the caller's responsibility -
+    ``System._fused_ok`` performs the concrete check before dispatch.
+    """
+    import numpy as np
+
+    for name in ("q", "qf", "P", "r"):
+        x = getattr(spec, name)
+        nonzero = False
+        if isinstance(x, np.ndarray):
+            nonzero = bool(x.any())
+        else:
+            try:
+                nonzero = bool(jnp.any(x))
+            except (jax.errors.TracerBoolConversionError,
+                    jax.errors.ConcretizationTypeError):
+                continue  # tracer: documented precondition, not checkable
+        if nonzero:
+            raise ValueError(
+                f"fused gains kernel requires structurally-zero affine/cross "
+                f"cost terms, but spec.{name} is nonzero; use the scan path "
+                f"(System.gains(method='scan')) for affine-cost problems")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gains_fused(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
     """Differentiable fused gains: Pallas kernel forward, parallel backward.
+
+    Precondition: the affine/cross cost terms ``q, qf, P, r`` must be
+    structurally zero - the kernel ignores them in the forward pass and the
+    analytic adjoint emits hard-zero cotangents for them.  Concretely
+    nonzero values raise; tracer values are trusted (see
+    :func:`_require_zero_affine_costs` and ``System._fused_ok``).
 
     The Pallas kernel computes the primal only; inference needs gradients of the
     gains w.r.t. the spec (the NUTS/MLE chain rules through
@@ -513,6 +549,7 @@ def gains_fused(spec: LQGSpec, Sigma0: jnp.ndarray, horizon: int):
 
     Same contract as :func:`fused_gains` (batched stationary spec).
     """
+    _require_zero_affine_costs(spec)
     return _gains_fwd_cv(horizon)(spec, Sigma0)
 
 
@@ -565,6 +602,7 @@ def _gains_adj_cv(horizon: int):
 
 
 def _gains_fused_fwd(spec, Sigma0, horizon):
+    _require_zero_affine_costs(spec)
     return _gains_fwd_cv(horizon)(spec, Sigma0), (spec, Sigma0)
 
 

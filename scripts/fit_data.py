@@ -157,6 +157,15 @@ if __name__ == "__main__":
         from lqg_tpu.results import load_netcdf
 
         prev = load_netcdf(args.precondition)
+        for name in prob_model.names:
+            # the stack below folds (chains, draws) into one draw axis per
+            # SCALAR site; a vector-valued site would silently fold its
+            # parameter dims into the draw axis and corrupt the dense mass
+            if np.asarray(prev[name]).ndim > 2:
+                raise ValueError(
+                    f"--precondition supports scalar sites only; "
+                    f"{name!r} has shape {np.asarray(prev[name]).shape} "
+                    f"(chains, draws, *param_dims)")
         U = np.stack([
             np.asarray(prob_model.transforms[name].inverse(jnp.asarray(
                 np.asarray(prev[name], dtype=np.float64).reshape(-1))))
