@@ -1,4 +1,4 @@
-"""Blocked (MXU-tile) Pallas kernel for the large-j marginalized likelihood.
+"""Blocked (MXU-tile) Pallas kernels for the large-j marginalized likelihood.
 
 The per-element-lane kernel in :mod:`lqg_tpu.ops.pallas.likelihood` unrolls
 ``j x j`` matrices as separate (8, 128) tiles - straight-line FMA code that
@@ -9,19 +9,32 @@ each joint-state matrix is ONE zero-padded (128, 128) VMEM tile and every
 recursion step is a handful of real MXU matmuls, with trials riding the
 128 lanes of the mean tile.
 
-Key padding identities (d = observed dims, top-left (d, d) block S):
+Design notes (round 5 rewrite):
 
-* ``J = FS[:, :d] @ S^-1`` == ``FS @ Sinv_full`` where ``Sinv_full`` embeds
-  the tiny closed-form inverse in its top-left block (zeros elsewhere);
-* ``J @ P^T`` == ``J @ FS^T`` because J's columns >= d are zero;
-* the innovation ``E`` rows >= d may hold garbage - every consumer
-  multiplies them by structurally-zero blocks.
+* **Conditioned-form recursion.**  The update is computed as
+  condition-then-propagate (``Sig_c = Sig - Kc Sig[:d, :]``;
+  ``Sig' = F Sig_c F^T + Q``) instead of propagate-then-correct - same
+  math as the scan twin, but transpose-free: ``F^T`` is a separate input
+  stream and every other operand is symmetric by construction (``Sig_c``
+  is explicitly symmetrized once per step).
+* **Scalar-sync-free small inverse** (d <= 2, the data-fit case): the
+  trace/sum-of-squares reductions feeding the closed-form 2x2 inverse are
+  computed as ones-matrix MXU matmuls that broadcast the result across the
+  whole tile, so the hot loop contains NO vector->scalar transfers (the
+  measured per-step bottleneck of the round-4 kernel).  d = 3, 4 keep the
+  cofactor-expansion scalar path.
+* **Analytic adjoint kernel** (:func:`_ll_blocked_bwd_kernel`): the
+  forward stores per-step carries ``(Sigma_t, MU_t)`` to HBM and a second
+  kernel runs the hand-derived reverse recursion, emitting cotangents for
+  ``F``, ``Q`` and the data - so ``jax.value_and_grad`` of a delay-model
+  likelihood is two fused kernels instead of an XLA scan chain (the
+  round-4 version differentiated a scan twin and LOST to the plain scan
+  on the NUTS-relevant value+grad quantity).
 
-Scope: ``12 < j <= 128``, ``d <= 4``, trials ``n <= 128``, float32.  The
-backward pass differentiates an XLA scan twin of the same recursion (the
-analytic blocked adjoint is a follow-up); the primal is the win the delay
-models need - the j=65 scan costs ~11 ms (value) at T=500 on chip
-(BENCH_notes_r3) while this kernel runs ~4 dependent MXU ops per step.
+Scope: ``12 < j <= 128``, ``d <= 4``, trials ``n <= 128``, float32.
+Value/grad consistency: both passes run the same fused recursion; the
+remaining kernel-vs-scan-twin f32 discrepancy (tested at rtol 2e-3) is
+rounding, not method.
 """
 
 from __future__ import annotations
@@ -70,82 +83,125 @@ def _small_inv_det(s, d, eps):
     return out, det
 
 
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+class _Masks:
+    """Loop-invariant mask tiles shared by both kernels."""
+
+    def __init__(self, d):
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (BJ, BJ), 0)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (BJ, BJ), 1)
+        self.row2, self.col2, self.d = row2, col2, d
+        self.rowd = jnp.where(row2 < d, 1.0, 0.0)
+        self.cold = jnp.where(col2 < d, 1.0, 0.0)
+        self.tl = self.rowd * self.cold
+        self.eyed = jnp.where((row2 == col2) & (row2 < d), 1.0, 0.0)
+        self.ones = jnp.ones((BJ, BJ), jnp.float32)
+
+    def embed_rows(self, Xblk):
+        """(BD, 128) data block -> (BJ, BJ) with rows >= d zeroed."""
+        full = jnp.pad(Xblk, ((0, BJ - BD), (0, 0)))
+        return jnp.where(self.row2 < self.d, full, 0.0)
+
+
+def _sym_inv(Sig, mk, eps):
+    """(Sinv_tile, logdet_row) of the top-left (d, d) block of ``Sig``.
+
+    ``Sinv_tile`` is the inverse embedded in the top-left block (zeros
+    elsewhere); ``logdet_row`` is a (128,) lane broadcast.  d <= 2 is
+    scalar-free: the reductions ride ones-matmuls on the MXU and stay
+    lane-broadcast tiles end to end.
+    """
+    d = mk.d
+    if d == 1:
+        M1 = Sig * mk.eyed
+        s00 = _dot(_dot(mk.ones, M1), mk.ones)     # S[0,0] everywhere
+        Sinv = mk.eyed * (1.0 / (s00 + eps))
+        return Sinv, jnp.log(s00)[0]
+    if d == 2:
+        # Cayley-Hamilton: S^-1 = (tr I - S)/det, det = (tr^2 - sum S*S)/2
+        M1 = Sig * mk.eyed
+        S2 = Sig * mk.tl
+        tr = _dot(_dot(mk.ones, M1), mk.ones)
+        s2 = _dot(_dot(mk.ones, S2 * S2), mk.ones)
+        det = 0.5 * (tr * tr - s2)
+        Sinv = (tr * mk.eyed - S2) * (1.0 / (det + eps))
+        return Sinv, jnp.log(det)[0]
+    # d = 3, 4: cofactor expansion on extracted scalars
+    s_el = [Sig[r, k] for r in range(d) for k in range(d)]
+    inv_rows, det = _small_inv_det(s_el, d, eps)
+    Sinv = jnp.zeros((BJ, BJ), jnp.float32)
+    for r in range(d):
+        for k in range(d):
+            Sinv = Sinv + inv_rows[r * d + k] * jnp.where(
+                (mk.row2 == r) & (mk.col2 == k), 1.0, 0.0)
+    return Sinv, jnp.full((BJ,), jnp.log(det), jnp.float32)
+
+
 def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
-                       Sig_scr, MU_scr, acc_scr,
-                       *, j, d, n, T, tc, eps):
+                       *rest, j, d, n, T, tc, eps, with_stores):
     """Forward conditioned recursion on (128, 128) tiles.
 
-    Same math as ``likelihood._ll_fwd_kernel`` (and the scan twin
-    ``gaussian.conditional_kernel`` + ``trial_log_likelihood``): one
-    parameter set per grid row, trials on lanes of the mean tile.
+    Same math as the scan twin (``gaussian.conditional_kernel`` +
+    ``trial_log_likelihood``): one parameter set per grid row, trials on
+    the 128 lanes of the mean tile.  Per step (see module doc):
+
+        Sinv   = inv(Sig[:d, :d]);  E = [x_t; 0] - MU[:d]
+        score += e^T Sinv e + log det            (t >= 1)
+        Kc     = Sig @ Sinv_embedded             (cols < d)
+        Sig_c  = sym(Sig - Kc @ Sig[:d, :])      (conditioned covariance)
+        MU'    = F (MU + Kc E)
+        Sig'   = F Sig_c F^T + Q
+
+    With ``with_stores`` the per-step carries stream to HBM for the
+    analytic adjoint kernel.
     """
+    if with_stores:
+        (SigS_ref, MUS_ref, SigT_ref, MUT_ref,
+         Sig_scr, MU_scr, acc_scr) = rest
+    else:
+        Sig_scr, MU_scr, acc_scr = rest
+
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
-
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (BJ, BJ), 0)
-    col2 = jax.lax.broadcasted_iota(jnp.int32, (BJ, BJ), 1)
-
-    def embed_rows(Xblk):
-        # (BD, 128) data block -> (BJ, BJ) with rows >= d zeroed
-        full = jnp.pad(Xblk, ((0, BJ - BD), (0, 0)))
-        return jnp.where(row2 < d, full, 0.0)
+    mk = _Masks(d)
 
     @pl.when(c == 0)
     def _():
         # Sigma_0 = Q_0 ; MU_0 = [X_0 ; 0]
         Sig_scr[...] = Q_ref[0]
-        MU_scr[...] = embed_rows(X_ref[0])
+        MU_scr[...] = mk.embed_rows(X_ref[0])
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    tl_mask = jnp.where((row2 < d) & (col2 < d), 1.0, 0.0)
-    eye_mask = jnp.where((row2 == col2) & (row2 < d), 1.0, 0.0)
-
     def score(Sig, MU, Xblk):
-        """(quad per lane, logdet scalar, Sinv_full, E) of the predictive."""
-        if d == 2:
-            # scalar-FREE small inverse via Cayley-Hamilton:
-            #   S^-1 = (tr(S) I - S) / det,  det = (tr^2 - tr(S^2)) / 2
-            # (tr(S^2) = sum(S*S) for symmetric S).  Two reductions feed
-            # scalar broadcasts instead of d^2 element extractions - the
-            # vector->scalar syncs were the measured per-step bottleneck.
-            Smask = Sig * tl_mask
-            tr = jnp.sum(Sig * eye_mask)
-            det = 0.5 * (tr * tr - jnp.sum(Smask * Smask))
-            Sinv = (tr * eye_mask - Smask) * (1.0 / (det + eps))
-        else:
-            s_el = [Sig[r, k] for r in range(d) for k in range(d)]
-            inv_rows, det = _small_inv_det(s_el, d, eps)
-            Sinv = jnp.zeros((BJ, BJ), jnp.float32)
-            for r in range(d):
-                for k in range(d):
-                    Sinv = Sinv + inv_rows[r * d + k] * jnp.where(
-                        (row2 == r) & (col2 == k), 1.0, 0.0)
-        E = embed_rows(Xblk) - jnp.where(row2 < d, MU, 0.0)
-        SE = jnp.dot(Sinv, E, preferred_element_type=jnp.float32)
+        Sinv, ld = _sym_inv(Sig, mk, eps)
+        E = mk.embed_rows(Xblk) - mk.rowd * MU
+        SE = _dot(Sinv, E)
         quad = jnp.sum(E * SE, axis=0)          # (128,) per-lane
-        return quad, jnp.log(det), Sinv, E
+        return quad, ld, Sinv, E, SE
 
     def step(i, carry):
-        # carries ride the fori_loop VALUES (no per-step scratch
-        # load/store ordering constraints); scratch only bridges chunks
         Sig, MU, qacc, ldacc = carry
+        if with_stores:
+            SigS_ref[i] = Sig
+            MUS_ref[i] = MU
         F = F_ref[i]
         FT = FT_ref[i]
         Q = Q_ref[i]
 
-        quad, ld, Sinv, E = score(Sig, MU, X_ref[i])
+        quad, ld, Sinv, E, _ = score(Sig, MU, X_ref[i])
         t_global = c * tc + i
         mask = jnp.where(t_global >= 1, 1.0, 0.0)
         qacc = qacc + mask * quad
         ldacc = ldacc + mask * ld
 
-        FS = jnp.dot(F, Sig, preferred_element_type=jnp.float32)
-        J = jnp.dot(FS, Sinv, preferred_element_type=jnp.float32)
-        MU = (jnp.dot(F, MU, preferred_element_type=jnp.float32)
-              + jnp.dot(J, E, preferred_element_type=jnp.float32))
-        Sig_new = (jnp.dot(FS, FT, preferred_element_type=jnp.float32) + Q
-                   - jnp.dot(J, FS.T, preferred_element_type=jnp.float32))
-        Sig = 0.5 * (Sig_new + Sig_new.T)
+        Kc = _dot(Sig, Sinv)                     # cols < d
+        Sc = Sig - _dot(Kc, mk.rowd * Sig)
+        Sc = 0.5 * (Sc + Sc.T)
+        MU = _dot(F, MU + _dot(Kc, E))
+        Sig = _dot(F, _dot(Sc, FT)) + Q
         return (Sig, MU, qacc, ldacc)
 
     Sig_f, MU_f, q_f, ld_f = jax.lax.fori_loop(
@@ -158,83 +214,302 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
 
     @pl.when(c == n_chunks - 1)
     def _():
-        quad, ld, _, _ = score(Sig_scr[...], MU_scr[...], xT_ref[0])
+        if with_stores:
+            SigT_ref[0] = Sig_scr[...]
+            MUT_ref[0] = MU_scr[...]
+        quad, ld, _, _, _ = score(Sig_scr[...], MU_scr[...], xT_ref[0])
         total = (acc_scr[0, :] + quad + acc_scr[1, :] + ld
                  + T * d * _LOG_2PI)
         ll_ref[...] = jnp.broadcast_to((-0.5 * total)[None], (BD, 128))
+
+
+def _ll_blocked_bwd_kernel(F_ref, FT_ref, X_ref, xT_ref, W_ref,
+                           SigS_ref, MUS_ref, SigT_ref, MUT_ref,
+                           Fbar_ref, Qbar_ref, Xbar_ref, xTbar_ref,
+                           Sfin_ref, mfin_ref,
+                           Sbar_scr, mbar_scr, *, j, d, n, T, tc, eps):
+    """Analytic reverse-mode recursion of :func:`_ll_blocked_kernel`.
+
+    Hand-derived adjoint of the conditioned-form step; ``B``/``m`` carry
+    the cotangents of ``(Sigma_{t+1}, MU_{t+1})``.  Per reverse step
+    (recomputing ``Sinv, E, SE, Kc, Sc, MUc`` from the stored carries):
+
+        Bs      = sym(B)
+        Qbar_t  = Bs                             [symmetric gauge]
+        Fbar_t  = 2 Bs F Sc + m MUc^T
+        Scrb    = F^T Bs F                       [cotangent of Sig - Kc Sig_r]
+        Kcbar   = -Scrb Sigd + MUc_bar E^T       [Sigd = Sig[:, :d]]
+        Sigbar  = Scrb - Kc^T Scrb + Kcbar Sinv + Sbar
+        MUc_bar = F^T m
+        Ebar    = Kc^T MUc_bar - w Sinv e        [score, t >= 1]
+        Sinvbar = sym(Sig Kcbar|_tl - (w/2) E E^T)
+        Sbar    = -Sinv Sinvbar Sinv - (sum_n w_n / 2) Sinv
+        MUbar   = MUc_bar - Ebar|_{rows<d}
+        Xbar_t  = Ebar|_{rows<d}
+
+    The seed (t = T) is the final-score adjoint; the t = 0 boundary
+    (``Sigma_0 = Q_0``, ``MU_0 = [x_0; 0]``) is folded on the HOST from
+    the emitted final carries ``(Sfin, mfin)``.  Lane (trial) reductions
+    ride the matmul contractions; invalid lanes carry ``w = 0``.
+    """
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    mk = _Masks(d)
+
+    w = W_ref[0][0:1, :]                          # (1, 128) lane weights
+    wsum = _dot(jnp.broadcast_to(w, (BJ, BJ)), mk.ones)   # sum_n w_n
+
+    @pl.when(c == 0)
+    def _():
+        # seed: adjoint of the final score on (Sigma_T, MU_T)
+        Sig = SigT_ref[0]
+        MU = MUT_ref[0]
+        Sinv, _ = _sym_inv(Sig, mk, eps)
+        E = mk.embed_rows(xT_ref[0]) - mk.rowd * MU
+        SE = _dot(Sinv, E)
+        mbar_scr[...] = mk.rowd * (SE * w)
+        xTbar_ref[0] = (-(SE * w))[:BD]
+        Sbar_scr[...] = 0.5 * (_dot(SE * w, SE.T) - wsum * Sinv)
+
+    def step(ii, carry):
+        B, m = carry
+        tt = tc - 1 - ii
+        t_global = (n_chunks - 1 - c) * tc + tt
+
+        Sig = SigS_ref[tt]
+        MU = MUS_ref[tt]
+        F = F_ref[tt]
+        FT = FT_ref[tt]
+
+        # recompute forward intermediates from the stored carry
+        Sinv, _ = _sym_inv(Sig, mk, eps)
+        E = mk.embed_rows(X_ref[tt]) - mk.rowd * MU
+        SE = _dot(Sinv, E)
+        Kc = _dot(Sig, Sinv)
+        KcT = _dot(Sinv, Sig)                    # Kc^T (rows < d)
+        Sc = Sig - _dot(Kc, mk.rowd * Sig)
+        Sc = 0.5 * (Sc + Sc.T)
+        MUc = MU + _dot(Kc, E)
+        FSc = _dot(F, Sc)
+
+        mask = jnp.where(t_global >= 1, 1.0, 0.0)
+
+        Bs = 0.5 * (B + B.T)
+        # symmetric-gauge representative (Q is G G^T; the twin's
+        # symmetrize() projects its Q cotangent the same way)
+        Qbar_ref[tt] = Bs
+        Fbar = 2.0 * _dot(Bs, FSc) + _dot(m, MUc.T)
+        Scrb = _dot(_dot(FT, Bs), F)
+        MUc_bar = _dot(FT, m)
+        Et = E.T
+        Kcbar = -_dot(Scrb, mk.cold * Sig) + _dot(MUc_bar, Et)
+        Ebar = _dot(KcT, MUc_bar) - mask * (SE * w)
+        Sinvbar = (mk.tl * _dot(Sig, Kcbar)
+                   - (mask * 0.5) * _dot(E * w, Et))
+        Sinvbar = 0.5 * (Sinvbar + Sinvbar.T)
+        Sbar = (-_dot(Sinv, _dot(Sinvbar, Sinv))
+                - (mask * 0.5) * (wsum * Sinv))
+        Sigbar = Scrb - _dot(KcT, Scrb) + _dot(Kcbar, Sinv) + Sbar
+        MUbar = MUc_bar - mk.rowd * Ebar
+
+        Xbar_ref[tt] = Ebar[:BD]
+        Fbar_ref[tt] = Fbar
+        return (Sigbar, MUbar)
+
+    Sbar_f, mbar_f = jax.lax.fori_loop(
+        0, tc, step, (Sbar_scr[...], mbar_scr[...]))
+    Sbar_scr[...] = Sbar_f
+    mbar_scr[...] = mbar_f
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        # final carries = cotangents of (Sigma_0, MU_0); host folds them
+        # into Qbar_0 and Xbar_0
+        Sfin_ref[0] = Sbar_scr[...]
+        mfin_ref[0] = mbar_scr[...]
 
 
 def blocked_ll_available(j: int, d: int, n: int, dtype) -> bool:
     return 12 < j <= BJ and d <= 4 and n <= 128 and dtype == jnp.float32
 
 
-def _squeeze_lead(kernel):
+def _squeeze_lead(kernel, n_in):
     """Adapt refs carrying the size-1 parameter-set block dim."""
-    def wrapped(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref, *scr, **kw):
-        return kernel(F_ref.at[0], FT_ref.at[0], Q_ref.at[0], X_ref.at[0],
-                      xT_ref.at[0], ll_ref.at[0], *scr, **kw)
+    def wrapped(*refs, **kw):
+        ins = tuple(r.at[0] for r in refs[:n_in])
+        return kernel(*ins, *refs[n_in:], **kw)
     return wrapped
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _blocked_ll_call(F, Q, X, eps: float = 1e-12):
-    """Run the blocked forward kernel.
-
-    Args:
-        F, Q: ``(P, T, j, j)`` joint transition / noise covariance.
-        X: ``(P, n, T+1, d)`` observed trajectories.
-
-    Returns:
-        ``(P, n)`` per-trial log likelihoods.
-    """
+def _pack(F, Q, X):
     P, T, j, _ = F.shape
     n = X.shape[1]
     d = X.shape[-1]
-    dtype = F.dtype
-
     Fp = jnp.pad(F, ((0, 0), (0, 0), (0, BJ - j), (0, BJ - j)))
     FTp = jnp.swapaxes(Fp, -1, -2)
     Qp = jnp.pad(Q, ((0, 0), (0, 0), (0, BJ - j), (0, BJ - j)))
     # X: (P, n, T+1, d) -> per-step (d, n) blocks padded to (BD, 128)
     Xt = jnp.moveaxis(X, 1, -1)                      # (P, T+1, d, n)
     Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, BD - d), (0, 128 - n)))
-    X_in = Xt[:, :T]                                  # (P, T, BD, 128)
-    xT_in = Xt[:, T:T + 1]                            # (P, 1, BD, 128)
+    return Fp, FTp, Qp, Xt[:, :T], Xt[:, T:T + 1]
 
-    tc = max(1, min(T, (2 << 20) // ((3 * BJ + BD) * BJ * 4)))
+
+def _chunk(T, per_step_tiles, budget_bytes=2 << 20):
+    tc = max(1, min(T, budget_bytes // (per_step_tiles * BJ * BJ * 4)))
     while T % tc:
         tc -= 1
-    n_chunks = T // tc
+    return tc
 
-    grid = (P, n_chunks)
+
+def _grid_setup(P, n_chunks):
     interpret = jax.default_backend() != "tpu"
     compiler_params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
+    return (P, n_chunks), interpret, compiler_params
 
-    def spec_t(r):
-        return pl.BlockSpec((1, tc, r, BJ), lambda p, c: (p, c, 0, 0),
-                            memory_space=pltpu.VMEM)
 
-    ll = pl.pallas_call(
-        functools.partial(_squeeze_lead(_ll_blocked_kernel),
-                          j=j, d=d, n=n, T=T, tc=tc, eps=eps),
+def _mk_spec(tc, r, rev, n_chunks=None):
+    if rev:
+        return pl.BlockSpec(
+            (1, tc, r, BJ),
+            lambda p, c, n_chunks=n_chunks: (p, n_chunks - 1 - c, 0, 0),
+            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, tc, r, BJ), lambda p, c: (p, c, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _mk_const(r):
+    return pl.BlockSpec((1, 1, r, 128), lambda p, c: (p, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "with_stores"))
+def _blocked_ll_call(F, Q, X, eps: float = 1e-12, with_stores: bool = False):
+    """Run the blocked forward kernel.
+
+    Args:
+        F, Q: ``(P, T, j, j)`` joint transition / noise covariance.
+        X: ``(P, n, T+1, d)`` observed trajectories.
+        with_stores: additionally stream the per-step carries
+            ``(Sigma_t, MU_t)`` to HBM (residues of the adjoint kernel).
+
+    Returns:
+        ``(P, n)`` per-trial log likelihoods (and the store arrays when
+        ``with_stores``).
+    """
+    P, T, j, _ = F.shape
+    n = X.shape[1]
+    d = X.shape[-1]
+    dtype = F.dtype
+
+    Fp, FTp, Qp, X_in, xT_in = _pack(F, Q, X)
+
+    tc = _chunk(T, 6 if with_stores else 4)
+    n_chunks = T // tc
+    grid, interpret, compiler_params = _grid_setup(P, n_chunks)
+
+    out_shape = [jax.ShapeDtypeStruct((P, BD, 128), dtype)]
+    out_specs = [pl.BlockSpec((1, BD, 128), lambda p, c: (p, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if with_stores:
+        out_shape += [
+            jax.ShapeDtypeStruct((P, T, BJ, BJ), dtype),   # SigS
+            jax.ShapeDtypeStruct((P, T, BJ, BJ), dtype),   # MUS
+            jax.ShapeDtypeStruct((P, 1, BJ, BJ), dtype),   # SigT
+            jax.ShapeDtypeStruct((P, 1, BJ, BJ), dtype),   # MUT
+        ]
+        out_specs += [_mk_spec(tc, BJ, False), _mk_spec(tc, BJ, False),
+                      _mk_const(BJ), _mk_const(BJ)]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _squeeze_lead(_ll_blocked_kernel, 5 + 1 + (4 if with_stores
+                                                       else 0)),
+            j=j, d=d, n=n, T=T, tc=tc, eps=eps, with_stores=with_stores),
         grid=grid,
-        in_specs=[spec_t(BJ), spec_t(BJ), spec_t(BJ), spec_t(BD),
-                  pl.BlockSpec((1, 1, BD, 128), lambda p, c: (p, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, BD, 128), lambda p, c: (p, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, BD, 128), dtype),
+        in_specs=[_mk_spec(tc, BJ, False), _mk_spec(tc, BJ, False),
+                  _mk_spec(tc, BJ, False), _mk_spec(tc, BD, False),
+                  _mk_const(BD)],
+        out_specs=tuple(out_specs) if with_stores else out_specs[0],
+        out_shape=tuple(out_shape) if with_stores else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((BJ, BJ), dtype),   # Sigma
             pltpu.VMEM((BJ, BJ), dtype),   # MU
-            pltpu.VMEM((BD, 128), dtype),  # row 0: quad (lanes); [1,0]: logdet
+            pltpu.VMEM((BD, 128), dtype),  # rows 0/1: quad / logdet lanes
         ],
         compiler_params=compiler_params,
         interpret=interpret,
     )(Fp, FTp, Qp, X_in, xT_in)
 
-    return ll[:, 0, :n]
+    if with_stores:
+        ll = outs[0]
+        return ll[:, 0, :n], outs[1:]
+    return outs[:, 0, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _blocked_bwd_call(F, Q, X, stores, llbar, eps: float = 1e-12):
+    """Run the adjoint kernel; returns ``(Fbar, Qbar, Xbar)``."""
+    P, T, j, _ = F.shape
+    n = X.shape[1]
+    d = X.shape[-1]
+    dtype = F.dtype
+    SigS, MUS, SigT, MUT = stores
+
+    Fp, FTp, _, X_in, xT_in = _pack(F, Q, X)
+    w_in = jnp.zeros((P, 1, BD, 128), dtype).at[:, 0, 0, :n].set(llbar)
+
+    # streams/chunk: F, FT, SigS, MUS (BJ) + X, Xbar (BD) + Fbar, Qbar (BJ)
+    tc = _chunk(T, 6 + 1)
+    n_chunks = T // tc
+    grid, interpret, compiler_params = _grid_setup(P, n_chunks)
+
+    def rev(r):
+        return _mk_spec(tc, r, True, n_chunks=n_chunks)
+
+    Fbar, Qbar, Xbar, xTbar, Sfin, mfin = pl.pallas_call(
+        functools.partial(_squeeze_lead(_ll_blocked_bwd_kernel, 9 + 6),
+                          j=j, d=d, n=n, T=T, tc=tc, eps=eps),
+        grid=grid,
+        in_specs=[rev(BJ), rev(BJ),
+                  rev(BD), _mk_const(BD), _mk_const(BD),
+                  rev(BJ), rev(BJ),
+                  _mk_const(BJ), _mk_const(BJ)],
+        out_specs=(rev(BJ), rev(BJ),
+                   rev(BD), _mk_const(BD),
+                   _mk_const(BJ), _mk_const(BJ)),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, T, BJ, BJ), dtype),
+            jax.ShapeDtypeStruct((P, T, BJ, BJ), dtype),
+            jax.ShapeDtypeStruct((P, T, BD, 128), dtype),
+            jax.ShapeDtypeStruct((P, 1, BD, 128), dtype),
+            jax.ShapeDtypeStruct((P, 1, BJ, BJ), dtype),
+            jax.ShapeDtypeStruct((P, 1, BJ, BJ), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BJ, BJ), dtype),   # Sigma-bar carry
+            pltpu.VMEM((BJ, BJ), dtype),   # MU-bar carry
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(Fp, FTp, X_in, xT_in, w_in, SigS, MUS, SigT, MUT)
+
+    Fbar = Fbar[:, :, :j, :j]
+    Qbar = Qbar[:, :, :j, :j]
+
+    # host-side t = 0 fold: Sigma_0 = Q_0 and MU_0 = [x_0; 0]
+    Sfin = Sfin[:, 0, :j, :j]
+    Qbar = Qbar.at[:, 0].add(0.5 * (Sfin + jnp.swapaxes(Sfin, -1, -2)))
+
+    def unpack_x(xb):
+        # (P, t, BD, 128) -> (P, n, t, d)
+        return jnp.moveaxis(xb[:, :, :d, :n], 3, 1)
+
+    Xbar = unpack_x(Xbar)
+    Xbar = Xbar.at[:, :, 0, :].add(
+        jnp.moveaxis(mfin[:, 0, :d, :n], 2, 1))
+    Xbar_full = jnp.concatenate([Xbar, unpack_x(xTbar)], axis=2)
+    return Fbar, Qbar, Xbar_full
 
 
 def _scan_twin(F, Q, X):
@@ -291,19 +566,20 @@ def conditioned_log_likelihood_blocked(F, Q, X):
     Same contract as
     :func:`lqg_tpu.ops.pallas.likelihood.conditioned_log_likelihood_fused`
     (``(P, T, j, j)`` schedules, ``(P, n, T+1, d)`` data -> ``(P, n)``),
-    for ``12 < j <= 128``.  Gradient: XLA scan twin (see module doc).
+    for ``12 < j <= 128``.  Gradient: fused analytic adjoint kernel
+    (:func:`_ll_blocked_bwd_kernel`).
     """
     return _blocked_ll_call(F, Q, X)
 
 
 def _blk_fwd(F, Q, X):
-    return _blocked_ll_call(F, Q, X), (F, Q, X)
+    ll, stores = _blocked_ll_call(F, Q, X, with_stores=True)
+    return ll, (F, Q, X, stores)
 
 
 def _blk_bwd(res, llbar):
-    F, Q, X = res
-    _, vjp = jax.vjp(_scan_twin, F, Q, X)
-    return vjp(llbar)
+    F, Q, X, stores = res
+    return _blocked_bwd_call(F, Q, X, stores, llbar)
 
 
 conditioned_log_likelihood_blocked.defvjp(_blk_fwd, _blk_bwd)

@@ -453,11 +453,12 @@ def test_fused_ok_inside_trace():
 # --- blocked (MXU-tile) large-j likelihood kernel ---
 
 
-@pytest.mark.parametrize("delay,T,n", [
-    (None, 24, 3),              # DelayedSubjectiveActor (delay 12): j = 65
-    (4, 13, 2),                 # prime T (tc fallback), j = 25
+@pytest.mark.parametrize("delay,T,n,dim", [
+    (None, 24, 3, 1),           # DelayedSubjectiveActor (delay 12): j = 65
+    (4, 13, 2, 1),              # prime T (tc fallback), j = 25
+    (4, 16, 2, 2),              # dim = 2: j = 50, observed d = 4
 ])
-def test_blocked_ll_parity(delay, T, n):
+def test_blocked_ll_parity(delay, T, n, dim):
     """The blocked kernel matches the sequential scan for delay models
     (j = 25-65), value and (twin) gradient."""
     from lqg_tpu.models.delay import (DelayedSubjectiveActor,
@@ -468,9 +469,9 @@ def test_blocked_ll_parity(delay, T, n):
     if delay is None:
         m = DelayedSubjectiveActor(T=T)
     else:
-        m = TemporalDelayModel(SubjectiveActor(T=T), delay=delay)
+        m = TemporalDelayModel(SubjectiveActor(T=T, dim=dim), delay=delay)
     joint = m._joint()
-    x = m.simulate(random.PRNGKey(0), n=n)[..., :2]
+    x = m.simulate(random.PRNGKey(0), n=n)[..., :2 * dim]
     F = joint.F[None]
     Q = (joint.G @ mT(joint.G))[None]
     X = x[None]
@@ -480,18 +481,30 @@ def test_blocked_ll_parity(delay, T, n):
     np.testing.assert_allclose(np.asarray(ll_blk), np.asarray(ll_ref),
                                rtol=2e-3, atol=0.2)
 
-    # gradient (scan-twin VJP) finite and matching the scan path's grad
-    def loss_blocked(Fq):
-        return jnp.sum(conditioned_log_likelihood_blocked(Fq, Q, X))
+    # analytic-adjoint cotangents vs the scan twin's VJP.  The Q cotangent
+    # is compared in the symmetric gauge: Q = G G^T lives on the symmetric
+    # manifold and both implementations emit a representative whose
+    # asymmetric part is arbitrary (the kernel emits sym(B); the twin's
+    # Sigma0 = Q[0] path leaks an asymmetric t=0 part).
+    from lqg_tpu.ops.pallas.likelihood_blocked import _scan_twin
 
-    def loss_scan(Fq):
-        from lqg_tpu.ops.pallas.likelihood_blocked import _scan_twin
-        return jnp.sum(_scan_twin(Fq, Q, X))
+    def loss_blocked(FQX):
+        return jnp.sum(conditioned_log_likelihood_blocked(*FQX))
 
-    g_b = jax.grad(loss_blocked)(F)
-    g_s = jax.grad(loss_scan)(F)
-    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_s),
-                               rtol=1e-4, atol=1e-5)
+    def loss_scan(FQX):
+        return jnp.sum(_scan_twin(*FQX))
+
+    g_b = jax.grad(loss_blocked)((F, Q, X))
+    g_s = jax.grad(loss_scan)((F, Q, X))
+    sym = lambda a: 0.5 * (a + np.swapaxes(a, -1, -2))
+    for name, a, b in zip("FQX", g_b, g_s):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "Q":
+            a, b = sym(a), sym(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-4,
+                                   atol=2e-5,
+                                   err_msg=f"cotangent of {name}")
 
 
 def test_blocked_ll_system_dispatch():
