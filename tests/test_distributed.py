@@ -82,3 +82,47 @@ def test_two_process_sharded_likelihood(tmp_path):
         with open(f"{outfile}.mcmc.{i}") as f:
             mcmc_sums.append(float(f.read()))
     assert mcmc_sums[0] == pytest.approx(mcmc_sums[1], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_2d_mesh(tmp_path):
+    """(chains x dp) 2D mesh across 2 processes (VERDICT r4 item 6): each
+    worker forces 2 local CPU devices, so the 4-device global mesh has the
+    chains axis spanning the process boundary and dp within-process; the
+    sharded training step and chain-sharded NUTS must run and agree."""
+    port = _free_port()
+    outfile = str(tmp_path / "total")
+    nproc = 2
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = os.path.dirname(HERE) + os.pathsep + \
+        env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_dist_worker.py"),
+             str(i), str(nproc), str(port), outfile, "2d"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"2d worker failed:\n{out}"
+
+    sums = []
+    for i in range(nproc):
+        with open(f"{outfile}.2d.{i}") as f:
+            sums.append(float(f.read()))
+    # the replicated (loss + draws) total is identical on every process
+    assert sums[0] == pytest.approx(sums[1], rel=1e-6)
