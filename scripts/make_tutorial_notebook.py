@@ -44,7 +44,47 @@ import matplotlib.pyplot as plt
 from jax import random
 
 jax.devices()[:2], jax.default_backend()"""),
-    md("""## 1. A tracking task as an LQG problem
+    md("""## 0. A five-minute JAX refresher
+
+Everything in this library is built from three function transforms
+(reference Tutorial cells 1-12 cover the same ground). If you know them,
+skip ahead.
+
+**`jax.grad`** differentiates any scalar-valued function written with
+`jax.numpy` - including, later, a marginalized log likelihood that contains
+two Riccati recursions:"""),
+    code("""def f(x):
+    return jnp.sin(x) ** 2
+
+df = jax.grad(f)
+float(df(1.0)), float(2 * jnp.sin(1.0) * jnp.cos(1.0))  # match"""),
+    md("""**`jax.vmap`** vectorizes a function over a new batch axis without
+rewriting it. Batched model evaluations (parameter grids, chains, trials)
+all use it:"""),
+    code("""xs = jnp.linspace(0, 2 * jnp.pi, 50)
+plt.figure(figsize=(5, 2.5))
+plt.plot(xs, jax.vmap(f)(xs), label="f")
+plt.plot(xs, jax.vmap(df)(xs), label="f'")
+plt.legend(frameon=False); plt.tight_layout()"""),
+    md("""**`jax.jit`** traces a function once and compiles it with XLA. On
+TPU this is where the performance comes from: the whole
+parameters → gains → likelihood graph below compiles into a single fused
+device program, so Python never touches the inner loop."""),
+    code("""import timeit
+
+g = lambda x: jnp.sum(jnp.tanh(x @ x.T))
+a = random.normal(random.PRNGKey(0), (200, 200))
+jit_g = jax.jit(g)
+jit_g(a).block_until_ready()  # compile once
+t_eager = timeit.timeit(lambda: g(a).block_until_ready(), number=20)
+t_jit = timeit.timeit(lambda: jit_g(a).block_until_ready(), number=20)
+print(f"eager {t_eager * 50:.2f} ms/call, jit {t_jit * 50:.2f} ms/call")"""),
+    md("""Two rules matter for everything below: under `jit`, shapes are
+static and Python control flow runs at *trace* time (loops over time steps
+become `lax.scan`), and randomness is explicit - `random.PRNGKey(seed)`
+makes every simulation and every MCMC chain exactly reproducible.
+
+## 1. A tracking task as an LQG problem
 
 Per tracked dimension there are two states: target position (a random walk)
 and cursor position (integrates the control). The agent observes both under
@@ -90,7 +130,38 @@ for cost in [0.1, 1.0, 10.0]:
     ax.plot(lags / 60, ccg.mean(axis=0), label=f"action cost {cost}")
 ax.set(xlabel="lag [s]", ylabel="correlation"); ax.legend(frameon=False)
 fig.tight_layout()"""),
-    md("""## 4. Subjective actors
+    md("""### Influence of the model parameters
+
+Each parameter deforms tracking behavior in a characteristic way (this is
+what makes the inverse problem well-posed). `vmap` over the parameter makes
+the sweep one batched, jitted computation - the idiomatic replacement for
+the reference tutorial's interactive sliders:"""),
+    code("""sweeps = {
+    "action_cost": jnp.array([0.05, 0.5, 5.0]),
+    "sigma_target": jnp.array([2.0, 8.0, 32.0]),
+}
+
+fig, axes = plt.subplots(1, 2, figsize=(9, 3), sharey=True)
+for ax, (name, values) in zip(axes, sweeps.items()):
+    @jax.jit
+    @jax.vmap
+    def sim(v):
+        return BoundedActor(T=600, **{name: v}).simulate(
+            random.PRNGKey(4), n=1)[0]
+
+    xs = sim(values)
+    ax.plot(jnp.arange(601) / 60, xs[0, :, 0], "k", lw=1, label="target")
+    for v, xi in zip(values, xs):
+        ax.plot(jnp.arange(601) / 60, xi[:, 1], lw=1, label=f"{name}={v}")
+    ax.set(xlabel="time [s]", title=name)
+    ax.legend(frameon=False, fontsize=7)
+axes[0].set(ylabel="position [arcmin]")
+fig.tight_layout()"""),
+    md("""High action cost makes the cursor sluggish; high sensory noise
+makes it smooth but late. (Note the *same* target trace in both panels:
+only the actor changed.)
+
+## 4. Subjective actors
 
 The agent's internal model need not match the true dynamics: a
 `SubjectiveActor` believes the target has velocity (3 internal states per
@@ -103,7 +174,45 @@ subj = SubjectiveActor(T=1000, subj_noise=1.0, subj_vel_noise=0.0)
 x_b = BoundedActor(T=1000).simulate(random.PRNGKey(2), n=5)
 x_s = subj.simulate(random.PRNGKey(2), n=5)
 bool(jnp.allclose(x_b, x_s, atol=1e-4))"""),
-    md("""## 5. The marginalized likelihood
+    md("""### Exercise: your own target dynamics
+
+Models are just `LQGSpec` pytrees; nothing is hard-coded to the random-walk
+target. Here the target is mean-reverting (a discretized
+Ornstein-Uhlenbeck process, the reference tutorial's damped-spring
+exercise): state = (target, cursor), and only `A` changes."""),
+    code("""from lqg_tpu.utils import stationary_spec
+from lqg_tpu.system import System
+
+
+def ou_tracking_model(theta=1.5, process_noise=1.0, action_variability=0.5,
+                      sigma_target=6.0, sigma_cursor=4.0, action_cost=0.5,
+                      dt=1 / 60, T=1000):
+    a = jnp.exp(-theta * dt)          # OU mean reversion per step
+    A = jnp.array([[a, 0.0], [0.0, 1.0]])
+    B = jnp.array([[0.0], [dt]])
+    F = jnp.eye(2)
+    V = jnp.diag(jnp.array([process_noise, action_variability]))
+    W = jnp.diag(jnp.array([sigma_target, sigma_cursor]))
+    Q = jnp.array([[1.0, -1.0], [-1.0, 1.0]])
+    R = jnp.eye(1) * action_cost
+    spec = stationary_spec(A=A, B=B, F=F, V=V, W=W, Q=Q, R=R)
+    return System(actor=spec, dynamics=spec, horizon=T)
+
+
+ou = ou_tracking_model(theta=1.5)
+x_ou = ou.simulate(random.PRNGKey(5), n=5)
+fig, ax = plt.subplots(figsize=(7, 3))
+ax.plot(jnp.arange(x_ou.shape[1]) / 60, x_ou[0, :, 0], lw=1,
+        label="OU target")
+ax.plot(jnp.arange(x_ou.shape[1]) / 60, x_ou[0, :, 1], lw=1, label="cursor")
+ax.set(xlabel="time [s]", ylabel="position [arcmin]")
+ax.legend(frameon=False); fig.tight_layout()"""),
+    md("""The OU target hovers around zero instead of wandering off - and
+because `simulate`, `log_likelihood`, `infer` and belief tracking all
+operate on the spec, the custom model gets the full toolchain (including
+the fused TPU kernels) for free.
+
+## 5. The marginalized likelihood
 
 The inverse problem scores observed trajectories $x_{1:T}$ under parameters
 $\\theta$ *without observing the agent's beliefs*. Stack the true state and
@@ -141,6 +250,40 @@ ax.axvline(0.5, color="k", ls=":", label="true value")
 ax.set(xscale="log", xlabel="action cost", ylabel="log likelihood")
 ax.legend(frameon=False); fig.tight_layout()
 float(g)"""),
+    md("""### The two-noise trade-off, on a vmapped grid
+
+Nesting `vmap` twice evaluates the likelihood on a full 2-D parameter grid
+in one compiled call. The banana-shaped ridge between the two sensory
+noises is the single most important feature of this inference problem - it
+is why short data leaves them weakly identified, and why the real-data
+posterior in `docs/data.md` is hard to mix over:"""),
+    code("""st = jnp.linspace(2.0, 14.0, 40)
+sc = jnp.linspace(1.0, 10.0, 40)
+
+@jax.jit
+def ll_grid(st, sc):
+    def one(s_t, s_c):
+        return BoundedActor(T=1000, sigma_target=s_t,
+                            sigma_cursor=s_c).log_likelihood(x).sum()
+    return jax.vmap(jax.vmap(one, (None, 0)), (0, None))(st, sc)
+
+L = ll_grid(st, sc)
+fig, ax = plt.subplots(figsize=(5, 3.6))
+lmax = L.max()
+cs = ax.contourf(sc, st, L, levels=jnp.linspace(lmax - 300, lmax, 25),
+                 extend="min")
+ax.plot(4.0, 6.0, "w*", ms=12, label="truth")
+ax.set(xlabel="sigma_cursor", ylabel="sigma_target")
+ax.legend(frameon=False); fig.colorbar(cs, label="log likelihood")
+fig.tight_layout()"""),
+    md("""### Maximum likelihood
+
+For a point estimate, `lqg_tpu.optim.minimize` bridges the jitted value-
+and-gradient to `scipy.optimize.minimize` (L-BFGS) on pytree parameters:"""),
+    code("""from lqg_tpu.infer.mle import max_likelihood
+
+mle, losses = max_likelihood(x, model=BoundedActor, steps=800)
+{k: round(float(v), 3) for k, v in mle.items()}"""),
     md("""## 6. Bayesian inference (native NUTS)
 
 `infer` runs the framework's own NUTS (chains vmapped on-device, warmup

@@ -61,38 +61,68 @@ def bench(make_model, T, n_trials, methods, reps=3):
     def nll(c, method):
         return -make_model(T, c).log_likelihood(x, method=method).sum()
 
-    vals = {m: float(nll(jnp.float32(0.5), m)) for m in methods}
+    def guarded(fn, name):
+        # a single OOM (e.g. pscan's backward at T=1e5 on one chip) is a
+        # RESULT to record, not a reason to lose the other cells
+        try:
+            return fn()
+        except Exception as e:
+            print(f"  {name}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
+            return None
+
+    vals = {m: guarded(lambda m=m: float(nll(jnp.float32(0.5), m)),
+                       f"value [{m:7s}]") for m in methods}
     rels = {m: abs((vals[m] - vals["scan"]) / vals["scan"])
-            for m in methods if m != "scan"}
+            for m in methods
+            if m != "scan" and vals[m] is not None
+            and vals["scan"] is not None}
     print(f"  parity rel-to-scan: "
           + " ".join(f"{m}={r:.2e}" for m, r in rels.items()), flush=True)
 
     g = jax.grad(nll)
     out = {}
     for m in methods:
-        out[f"value_{m}"] = timed(lambda c: nll(c, m), f"value [{m:7s}]",
-                                  jnp.float32(0.5), reps=reps)
+        if vals[m] is None:
+            out[f"value_{m}"] = None
+            continue
+        out[f"value_{m}"] = guarded(
+            lambda m=m: timed(lambda c: nll(c, m), f"value [{m:7s}]",
+                              jnp.float32(0.5), reps=reps),
+            f"value [{m:7s}]")
     for m in methods:
-        out[f"grad_{m}"] = timed(lambda c: g(c, m), f"grad  [{m:7s}]",
-                                 jnp.float32(0.5), reps=reps)
+        if vals[m] is None:
+            out[f"grad_{m}"] = None
+            continue
+        out[f"grad_{m}"] = guarded(
+            lambda m=m: timed(lambda c: g(c, m), f"grad  [{m:7s}]",
+                              jnp.float32(0.5), reps=reps),
+            f"grad  [{m:7s}]")
     return out
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
+    only = set(sys.argv[1:])  # optional: case names to run
     results = {}
 
     for T in (10_000, 100_000):
+        name = f"bounded_T{T}"
+        if only and name not in only:
+            continue
         print(f"BoundedActor (j small), T={T}, trials=4:", flush=True)
-        results[f"bounded_T{T}"] = bench(
+        results[name] = bench(
             lambda T, c=6.0: BoundedActor(T=T, sigma_target=c), T, 4,
-            ["scan", "pscan", "fused"], reps=3)
+            ["scan", "fused", "pscan"], reps=3)
 
     for T in (10_000,):
+        name = f"delay_T{T}"
+        if only and name not in only:
+            continue
         print(f"DelayedSubjectiveActor (j=65), T={T}, trials=2:", flush=True)
-        results[f"delay_T{T}"] = bench(
+        results[name] = bench(
             lambda T, c=1.0: DelayedSubjectiveActor(T=T, c=c), T, 2,
-            ["scan", "pscan", "blocked"], reps=2)
+            ["scan", "blocked", "pscan"], reps=2)
 
     import json
     print(json.dumps(results))
