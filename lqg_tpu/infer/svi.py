@@ -22,11 +22,15 @@ from lqg_tpu.infer.models import ProbModel
 
 
 def optimize(model: ProbModel, steps: int = 2000, step_size: float = 0.01,
-             optimizer=None):
+             optimizer=None, return_unconstrained: bool = False):
     """Maximize the model objective; returns (constrained params, losses).
 
     With priors this is MAP estimation; without, MLE - matching the
-    reference's ``max_likelihood`` semantics.
+    reference's ``max_likelihood`` semantics.  With
+    ``return_unconstrained=True`` the raw optimum in the model's sampling
+    space is appended to the return tuple (needed by NeuTra callers, whose
+    sampling space - the flow's eps - has no per-parameter transforms to
+    invert through).
     """
     if optimizer is None:
         optimizer = optax.adam(step_size)
@@ -45,6 +49,8 @@ def optimize(model: ProbModel, steps: int = 2000, step_size: float = 0.01,
 
     (u, _), losses = lax.scan(jax.jit(step), (u0, opt_state), None,
                               length=steps)
+    if return_unconstrained:
+        return model.constrain(u), losses, u
     return model.constrain(u), losses
 
 

@@ -102,9 +102,12 @@ def neutra_reparam(model: ProbModel, guide) -> ProbModel:
         u, logdet = guide.transform_and_logdet(eps)
         return base_log_joint(u) + logdet
 
-    # override the unconstrained-space plumbing
+    # override the unconstrained-space plumbing; chains start at the
+    # guide's base point (eps = 0) unless a caller re-centers them by
+    # assigning ``reparam.init_eps`` (e.g. a warped-space MAP polish)
     reparam.log_joint_unconstrained = log_joint_eps
-    reparam.init_unconstrained = lambda: jnp.zeros(len(names))
+    reparam.init_eps = jnp.zeros(len(names))
+    reparam.init_unconstrained = lambda: reparam.init_eps
     reparam.constrain = lambda eps: model.constrain(guide.transform(eps))
     return reparam
 

@@ -116,6 +116,27 @@ if __name__ == "__main__":
 
     prob_model = shared_params_lqg_model(data, Model, shared_params=shared)
 
+    if args.init == "map":
+        # base-model MAP FIRST: with --neutra this anchors the guide's
+        # starting location (fit_auto_* seed their loc at
+        # init_unconstrained()) - and hence the whole warped geometry -
+        # in the MAP's basin of this multimodal posterior (docs/data.md)
+        import time as _time
+
+        from lqg_tpu.infer.svi import optimize
+
+        t0 = _time.perf_counter()
+        map_params, losses = optimize(prob_model, steps=args.map_steps,
+                                      step_size=0.05)
+        prob_model.init = {k: jnp.asarray(v)
+                           for k, v in map_params.items()}
+        print(f"[map] {args.map_steps} Adam steps in "
+              f"{_time.perf_counter() - t0:.1f}s, potential "
+              f"{float(losses[-1]):.1f}; init at MAP:", flush=True)
+        print("      " + ", ".join(f"{k}={float(v):.4g}"
+                                   for k, v in map_params.items()),
+              flush=True)
+
     if args.neutra != "none":
         import time as _time
 
@@ -133,22 +154,20 @@ if __name__ == "__main__":
               f"{-float(losses[-1]):.1f}", flush=True)
         prob_model = neutra_reparam(prob_model, guide)
 
-    if args.init == "map":
-        import time as _time
+        if args.init == "map":
+            # short polish in the WARPED space: the guide's mean need not
+            # sit exactly on the mode, so re-center the chains' eps init
+            from lqg_tpu.infer.svi import optimize
 
-        from lqg_tpu.infer.svi import optimize
-
-        t0 = _time.perf_counter()
-        map_params, losses = optimize(prob_model, steps=args.map_steps,
-                                      step_size=0.05)
-        prob_model.init = {k: jnp.asarray(v)
-                           for k, v in map_params.items()}
-        print(f"[map] {args.map_steps} Adam steps in "
-              f"{_time.perf_counter() - t0:.1f}s, potential "
-              f"{float(losses[-1]):.1f}; init at MAP:", flush=True)
-        print("      " + ", ".join(f"{k}={float(v):.4g}"
-                                   for k, v in map_params.items()),
-              flush=True)
+            t0 = _time.perf_counter()
+            _, losses, eps_map = optimize(
+                prob_model, steps=max(200, args.map_steps // 3),
+                step_size=0.02, return_unconstrained=True)
+            prob_model.init_eps = eps_map
+            print(f"[map/neutra] warped-space polish in "
+                  f"{_time.perf_counter() - t0:.1f}s, potential "
+                  f"{float(losses[-1]):.1f}, |eps_map| = "
+                  f"{float(jnp.linalg.norm(eps_map)):.3f}", flush=True)
 
     mass_kwargs = {}
     if args.precondition:
