@@ -219,11 +219,17 @@ def shared_params_lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
             cond_params[name] = jnp.stack(
                 [params[f"{name}_{c}"] for c in range(Nc)])
 
+        # the delay-register models fix dim=1 in their constructors
+        # (reference delay.py:44-51); only forward it where accepted
+        dim_kw = ({"dim": dim}
+                  if "dim" in inspect.signature(model_type.__init__).parameters
+                  else {})
+
         def one_condition(p, xn):
             full = dict(fixed_params)
             full.update(p)
             lqg = model_type(process_noise=process_noise, dt=dt, T=T - 1,
-                             dim=dim, **full)
+                             **dim_kw, **full)
             return jnp.sum(lqg.log_likelihood(xn[..., :d]))
 
         lls = jax.vmap(one_condition)(cond_params, x)

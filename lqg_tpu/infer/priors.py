@@ -29,6 +29,10 @@ N_DATA_CONDITIONS = 6
 PRIOR_TABLE: Dict[str, Callable[[], Distribution]] = {
     # control effort weight: broad log-normal centered near e^-2
     "action_cost": lambda: LogNormal(-2.0, 1.0),
+    # the delay-register models name their action cost "c" (reference
+    # delay.py:44); same prior (the reference's table has no entry, so its
+    # own stack cannot fit this model hierarchically - greenfield fix)
+    "c": lambda: LogNormal(-2.0, 1.0),
     # motor/process noise scales: half-normals
     "action_variability": lambda: HalfNormal(1.0),
     "signal_dep_noise": lambda: HalfNormal(1.0),

@@ -34,7 +34,12 @@ Design notes (round 5 rewrite):
 Scope: ``12 < j <= 128``, ``d <= 4``, trials ``n <= 128``, float32.
 Value/grad consistency: both passes run the same fused recursion; the
 remaining kernel-vs-scan-twin f32 discrepancy (tested at rtol 2e-3) is
-rounding, not method.
+rounding, not method.  The f32 drift grows with horizon (measured rel.
+NLL vs the scan: ~1e-3 at T=500-1000, ~3e-2 at T=10^4 where scan and the
+associative scan still agree to 1e-7 - BENCH_notes_r5.json); at the
+data-fit horizons this kernel serves (T ~ 1e3) it is well below the
+posterior's energy scale, but prefer ``method="scan"`` for very long
+horizons.
 """
 
 from __future__ import annotations

@@ -83,9 +83,11 @@ def parse_args(args=None):
                              "step size only)")
     parser.add_argument(
         "--shared_params", type=str, nargs="*",
-        default=["action_variability", "action_cost", "sigma_cursor",
+        default=["action_variability", "action_cost", "c", "sigma_cursor",
                  "subj_noise", "subj_vel_noise"],
-        help="Parameters shared across conditions")
+        help="Parameters shared across conditions ('c' is the delay "
+             "models' action-cost name; entries absent from a model's "
+             "signature are dropped)")
     return parser.parse_args(args=args)
 
 
