@@ -141,11 +141,16 @@ def make_auto_iaf(key, dim: int, hidden: int = 32, num_layers: int = 2,
 
 def fit_auto_iaf(model, rng_key, steps: int = 5000, step_size: float = 5e-3,
                  num_particles: int = 16, hidden: int = 32,
-                 num_layers: int = 2):
+                 num_layers: int = 2, chunk_steps: int = 200):
     """Fit an IAF guide to ``model``'s posterior by stochastic ELBO ascent.
 
-    The whole optimization runs in one ``lax.scan`` (like the reference's
-    SVI loop, ``lqg/infer/utils.py:23-29``).  Returns ``(AutoIAF, losses)``.
+    The optimization is a ``lax.scan`` (like the reference's SVI loop,
+    ``lqg/infer/utils.py:23-29``) chunked into launches of ``chunk_steps``
+    so no single device launch exceeds the remote-attached TPU's watchdog
+    budget (at data scale a 5000-step x 16-particle scan is ~minutes of
+    device time in one launch, which crashes the tunnel worker - the same
+    reason the MCMC driver budgets leapfrogs per launch).
+    Returns ``(AutoIAF, losses)``.
     """
     import optax
 
@@ -187,6 +192,13 @@ def fit_auto_iaf(model, rng_key, steps: int = 5000, step_size: float = 5e-3,
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    keys = random.split(key_fit, steps)
-    (params, _), losses = lax.scan(jax.jit(step), (params0, opt_state), keys)
-    return as_guide(params), losses
+    chunk = jax.jit(lambda carry, keys: lax.scan(step, carry, keys))
+    carry, losses = (params0, opt_state), []
+    for i in range(0, steps, chunk_steps):
+        n = min(chunk_steps, steps - i)
+        carry, ls = chunk(carry, random.split(
+            random.fold_in(key_fit, i), n))
+        ls.block_until_ready()
+        losses.append(ls)
+    params = carry[0]
+    return as_guide(params), jnp.concatenate(losses)

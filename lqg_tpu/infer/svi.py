@@ -22,7 +22,8 @@ from lqg_tpu.infer.models import ProbModel
 
 
 def optimize(model: ProbModel, steps: int = 2000, step_size: float = 0.01,
-             optimizer=None, return_unconstrained: bool = False):
+             optimizer=None, return_unconstrained: bool = False,
+             chunk_steps: int = 500):
     """Maximize the model objective; returns (constrained params, losses).
 
     With priors this is MAP estimation; without, MLE - matching the
@@ -30,7 +31,8 @@ def optimize(model: ProbModel, steps: int = 2000, step_size: float = 0.01,
     ``return_unconstrained=True`` the raw optimum in the model's sampling
     space is appended to the return tuple (needed by NeuTra callers, whose
     sampling space - the flow's eps - has no per-parameter transforms to
-    invert through).
+    invert through).  ``chunk_steps`` bounds the scan steps per device
+    launch (remote-TPU watchdog; see :func:`fit_auto_mvn`).
     """
     if optimizer is None:
         optimizer = optax.adam(step_size)
@@ -47,8 +49,16 @@ def optimize(model: ProbModel, steps: int = 2000, step_size: float = 0.01,
         u = optax.apply_updates(u, updates)
         return (u, opt_state), loss
 
-    (u, _), losses = lax.scan(jax.jit(step), (u0, opt_state), None,
-                              length=steps)
+    chunk = jax.jit(lambda carry, n: lax.scan(step, carry, None, length=n),
+                    static_argnums=1)
+    carry, losses = (u0, opt_state), []
+    for i in range(0, steps, chunk_steps):
+        n = min(chunk_steps, steps - i)
+        carry, ls = chunk(carry, n)
+        ls.block_until_ready()
+        losses.append(ls)
+    u = carry[0]
+    losses = jnp.concatenate(losses)
     if return_unconstrained:
         return model.constrain(u), losses, u
     return model.constrain(u), losses
@@ -76,11 +86,14 @@ class AutoMVN(NamedTuple):
 
 
 def fit_auto_mvn(model: ProbModel, rng_key, steps: int = 5000,
-                 step_size: float = 0.003, num_particles: int = 8):
+                 step_size: float = 0.003, num_particles: int = 8,
+                 chunk_steps: int = 200):
     """Fit a full-rank Gaussian guide by maximizing the ELBO.
 
     Returns ``(AutoMVN, losses)``.  Used standalone (variational posterior)
-    or as the NeuTra preconditioner.
+    or as the NeuTra preconditioner.  ``chunk_steps`` bounds the scan
+    steps per device launch (remote-TPU watchdog; see
+    :func:`lqg_tpu.infer.flows.fit_auto_iaf`).
     """
     zdim = model.init_unconstrained().shape[0]
     loc0 = model.init_unconstrained()
@@ -113,6 +126,12 @@ def fit_auto_mvn(model: ProbModel, rng_key, steps: int = 5000,
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    keys = random.split(rng_key, steps)
-    (params, _), losses = lax.scan(jax.jit(step), (params0, opt_state), keys)
-    return guide(params), losses
+    chunk = jax.jit(lambda carry, keys: lax.scan(step, carry, keys))
+    carry, losses = (params0, opt_state), []
+    for i in range(0, steps, chunk_steps):
+        n = min(chunk_steps, steps - i)
+        carry, ls = chunk(carry, random.split(random.fold_in(rng_key, i), n))
+        ls.block_until_ready()
+        losses.append(ls)
+    (params, _) = carry
+    return guide(params), jnp.concatenate(losses)
