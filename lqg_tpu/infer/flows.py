@@ -128,20 +128,27 @@ class AutoIAF(NamedTuple):
 
 
 def make_auto_iaf(key, dim: int, hidden: int = 32, num_layers: int = 2,
-                  loc=None) -> AutoIAF:
-    """Construct a near-identity IAF guide over a ``dim``-dimensional space."""
+                  loc=None, init_log_scale: float = 0.0) -> AutoIAF:
+    """Construct a near-identity IAF guide over a ``dim``-dimensional space.
+
+    ``init_log_scale`` sets the base-scale start; for sharply concentrated
+    posteriors (e.g. ~1e5 observations) start small - sampling N(loc, 1)
+    around a MAP whose posterior scale is ~1e-2 gives astronomically
+    high-variance ELBO gradients that blow the flow up to NaN.
+    """
     keys = random.split(key, num_layers)
     layers = tuple(_init_iaf_layer(k, dim, hidden) for k in keys)
     masks = tuple(_made_masks(dim, hidden, reverse=bool(i % 2))
                   for i in range(num_layers))
     loc = jnp.zeros(dim) if loc is None else jnp.asarray(loc)
-    return AutoIAF(loc=loc, log_scale=jnp.zeros(dim), layers=layers,
-                   masks=masks)
+    return AutoIAF(loc=loc, log_scale=jnp.full((dim,), init_log_scale),
+                   layers=layers, masks=masks)
 
 
 def fit_auto_iaf(model, rng_key, steps: int = 5000, step_size: float = 5e-3,
                  num_particles: int = 16, hidden: int = 32,
-                 num_layers: int = 2, chunk_steps: int = 200):
+                 num_layers: int = 2, chunk_steps: int = 200,
+                 init_log_scale: float = -2.0):
     """Fit an IAF guide to ``model``'s posterior by stochastic ELBO ascent.
 
     The optimization is a ``lax.scan`` (like the reference's SVI loop,
@@ -158,7 +165,8 @@ def fit_auto_iaf(model, rng_key, steps: int = 5000, step_size: float = 5e-3,
     dim = u0.shape[0]
     key_init, key_fit = random.split(rng_key)
     guide0 = make_auto_iaf(key_init, dim, hidden=hidden,
-                           num_layers=num_layers, loc=u0)
+                           num_layers=num_layers, loc=u0,
+                           init_log_scale=init_log_scale)
 
     # optimize only the learnable leaves; the binary masks stay frozen
     masks = guide0.masks
@@ -188,6 +196,13 @@ def fit_auto_iaf(model, rng_key, steps: int = 5000, step_size: float = 5e-3,
     def step(carry, key):
         params, opt_state = carry
         loss, grads = loss_fn(params, key)
+        # a single unlucky particle (likelihood NaN at an extreme draw)
+        # must not poison the whole fit: skip non-finite updates
+        ok = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            ok = ok & jnp.isfinite(leaf).all()
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
