@@ -232,6 +232,52 @@ def test_shared_params_model_potential():
     assert np.isfinite(np.asarray(grad)).all()
 
 
+def test_shared_params_model_delay_register():
+    """The explicit-delay models are hierarchically fittable (VERDICT r5):
+    no dim kwarg in their signature, action cost named 'c' (reference
+    delay.py:44-51) - the builder must skip dim and find a prior for c."""
+    from lqg_tpu.models import DelayedSubjectiveActor
+
+    x = jnp.stack([
+        DelayedSubjectiveActor(T=40).simulate(random.PRNGKey(c), n=2)[..., :2]
+        for c in range(2)])
+    model = shared_params_lqg_model(
+        x, DelayedSubjectiveActor,
+        shared_params=["c", "subj_noise", "subj_vel_noise", "sigma_cursor",
+                       "action_variability"])
+    assert set(model.names) == {"c", "subj_noise", "subj_vel_noise",
+                                "sigma_cursor", "action_variability",
+                                "sigma_target_0", "sigma_target_1"}
+    pe, grad = jax.value_and_grad(model.potential)(
+        model.init_unconstrained())
+    assert np.isfinite(float(pe))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_iaf_fit_skips_nonfinite_steps():
+    """A model whose log joint NaNs on extreme draws must not poison the
+    guide fit: steps with non-finite loss/grads are skipped."""
+    from lqg_tpu.infer.flows import fit_auto_iaf
+    from lqg_tpu.infer.models import ProbModel
+    from lqg_tpu.infer import transforms as tfm
+
+    def log_likelihood(params):
+        v = params["a"]
+        # NaN once the guide samples past |log a| > 2
+        return jnp.where(jnp.abs(jnp.log(v)) < 2.0,
+                         -0.5 * jnp.log(v) ** 2, jnp.nan)
+
+    model = ProbModel(init={"a": jnp.asarray(1.0)},
+                      transforms={"a": tfm.positive},
+                      log_likelihood=log_likelihood, priors=None)
+    guide, losses = fit_auto_iaf(model, random.PRNGKey(3), steps=300,
+                                 chunk_steps=100, init_log_scale=0.0)
+    # the trace may contain NaN losses (skipped steps) but the PARAMS
+    # stay finite and the guide still samples finitely
+    u = guide.sample(random.PRNGKey(4), sample_shape=(32,))
+    assert np.isfinite(np.asarray(u)).all()
+
+
 def test_diagnostics_sane():
     rng = np.random.default_rng(0)
     iid = rng.standard_normal((4, 1000))
