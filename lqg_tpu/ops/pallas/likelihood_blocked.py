@@ -14,9 +14,12 @@ Design notes (round 5 rewrite):
 * **Conditioned-form recursion.**  The update is computed as
   condition-then-propagate (``Sig_c = Sig - Kc Sig[:d, :]``;
   ``Sig' = F Sig_c F^T + Q``) instead of propagate-then-correct - same
-  math as the scan twin, but transpose-free: ``F^T`` is a separate input
-  stream and every other operand is symmetric by construction (``Sig_c``
-  is explicitly symmetrized once per step).
+  math as the scan twin, but transpose-free: contractions against
+  ``F^T`` ride transposed-operand ``dot_general`` dims (no separate
+  ``F^T`` stream - at 8 chains x 6 conditions x T=1008 that stream
+  plus XLA's pad/transpose copies cost ~6 GB of HBM) and every other
+  operand is symmetric by construction (``Sig_c`` is explicitly
+  symmetrized once per step).
 * **Scalar-sync-free small inverse** (d <= 2, the data-fit case): the
   trace/sum-of-squares reductions feeding the closed-form 2x2 inverse are
   computed as ones-matrix MXU matmuls that broadcast the result across the
@@ -92,6 +95,18 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _dot_bt(a, b):
+    """``a @ b.T`` as one MXU contraction (no transposed operand tile)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_at(a, b):
+    """``a.T @ b`` as one MXU contraction (no transposed operand tile)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 class _Masks:
     """Loop-invariant mask tiles shared by both kernels."""
 
@@ -145,7 +160,7 @@ def _sym_inv(Sig, mk, eps):
     return Sinv, jnp.full((BJ,), jnp.log(det), jnp.float32)
 
 
-def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
+def _ll_blocked_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref,
                        *rest, j, d, n, T, tc, eps, with_stores):
     """Forward conditioned recursion on (128, 128) tiles.
 
@@ -193,7 +208,6 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
             SigS_ref[i] = Sig
             MUS_ref[i] = MU
         F = F_ref[i]
-        FT = FT_ref[i]
         Q = Q_ref[i]
 
         quad, ld, Sinv, E, _ = score(Sig, MU, X_ref[i])
@@ -206,7 +220,7 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
         Sc = Sig - _dot(Kc, mk.rowd * Sig)
         Sc = 0.5 * (Sc + Sc.T)
         MU = _dot(F, MU + _dot(Kc, E))
-        Sig = _dot(F, _dot(Sc, FT)) + Q
+        Sig = _dot(F, _dot_bt(Sc, F)) + Q
         return (Sig, MU, qacc, ldacc)
 
     Sig_f, MU_f, q_f, ld_f = jax.lax.fori_loop(
@@ -228,7 +242,7 @@ def _ll_blocked_kernel(F_ref, FT_ref, Q_ref, X_ref, xT_ref, ll_ref,
         ll_ref[...] = jnp.broadcast_to((-0.5 * total)[None], (BD, 128))
 
 
-def _ll_blocked_bwd_kernel(F_ref, FT_ref, X_ref, xT_ref, W_ref,
+def _ll_blocked_bwd_kernel(F_ref, X_ref, xT_ref, W_ref,
                            SigS_ref, MUS_ref, SigT_ref, MUT_ref,
                            Fbar_ref, Qbar_ref, Xbar_ref, xTbar_ref,
                            Sfin_ref, mfin_ref,
@@ -284,7 +298,6 @@ def _ll_blocked_bwd_kernel(F_ref, FT_ref, X_ref, xT_ref, W_ref,
         Sig = SigS_ref[tt]
         MU = MUS_ref[tt]
         F = F_ref[tt]
-        FT = FT_ref[tt]
 
         # recompute forward intermediates from the stored carry
         Sinv, _ = _sym_inv(Sig, mk, eps)
@@ -304,8 +317,8 @@ def _ll_blocked_bwd_kernel(F_ref, FT_ref, X_ref, xT_ref, W_ref,
         # symmetrize() projects its Q cotangent the same way)
         Qbar_ref[tt] = Bs
         Fbar = 2.0 * _dot(Bs, FSc) + _dot(m, MUc.T)
-        Scrb = _dot(_dot(FT, Bs), F)
-        MUc_bar = _dot(FT, m)
+        Scrb = _dot(_dot_at(F, Bs), F)
+        MUc_bar = _dot_at(F, m)
         Et = E.T
         Kcbar = -_dot(Scrb, mk.cold * Sig) + _dot(MUc_bar, Et)
         Ebar = _dot(KcT, MUc_bar) - mask * (SE * w)
@@ -351,12 +364,11 @@ def _pack(F, Q, X):
     n = X.shape[1]
     d = X.shape[-1]
     Fp = jnp.pad(F, ((0, 0), (0, 0), (0, BJ - j), (0, BJ - j)))
-    FTp = jnp.swapaxes(Fp, -1, -2)
     Qp = jnp.pad(Q, ((0, 0), (0, 0), (0, BJ - j), (0, BJ - j)))
     # X: (P, n, T+1, d) -> per-step (d, n) blocks padded to (BD, 128)
     Xt = jnp.moveaxis(X, 1, -1)                      # (P, T+1, d, n)
     Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, BD - d), (0, 128 - n)))
-    return Fp, FTp, Qp, Xt[:, :T], Xt[:, T:T + 1]
+    return Fp, Qp, Xt[:, :T], Xt[:, T:T + 1]
 
 
 def _chunk(T, per_step_tiles, budget_bytes=2 << 20):
@@ -407,9 +419,9 @@ def _blocked_ll_call(F, Q, X, eps: float = 1e-12, with_stores: bool = False):
     d = X.shape[-1]
     dtype = F.dtype
 
-    Fp, FTp, Qp, X_in, xT_in = _pack(F, Q, X)
+    Fp, Qp, X_in, xT_in = _pack(F, Q, X)
 
-    tc = _chunk(T, 6 if with_stores else 4)
+    tc = _chunk(T, 5 if with_stores else 3)
     n_chunks = T // tc
     grid, interpret, compiler_params = _grid_setup(P, n_chunks)
 
@@ -428,13 +440,12 @@ def _blocked_ll_call(F, Q, X, eps: float = 1e-12, with_stores: bool = False):
 
     outs = pl.pallas_call(
         functools.partial(
-            _squeeze_lead(_ll_blocked_kernel, 5 + 1 + (4 if with_stores
+            _squeeze_lead(_ll_blocked_kernel, 4 + 1 + (4 if with_stores
                                                        else 0)),
             j=j, d=d, n=n, T=T, tc=tc, eps=eps, with_stores=with_stores),
         grid=grid,
         in_specs=[_mk_spec(tc, BJ, False), _mk_spec(tc, BJ, False),
-                  _mk_spec(tc, BJ, False), _mk_spec(tc, BD, False),
-                  _mk_const(BD)],
+                  _mk_spec(tc, BD, False), _mk_const(BD)],
         out_specs=tuple(out_specs) if with_stores else out_specs[0],
         out_shape=tuple(out_shape) if with_stores else out_shape[0],
         scratch_shapes=[
@@ -444,7 +455,7 @@ def _blocked_ll_call(F, Q, X, eps: float = 1e-12, with_stores: bool = False):
         ],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(Fp, FTp, Qp, X_in, xT_in)
+    )(Fp, Qp, X_in, xT_in)
 
     if with_stores:
         ll = outs[0]
@@ -461,11 +472,11 @@ def _blocked_bwd_call(F, Q, X, stores, llbar, eps: float = 1e-12):
     dtype = F.dtype
     SigS, MUS, SigT, MUT = stores
 
-    Fp, FTp, _, X_in, xT_in = _pack(F, Q, X)
+    Fp, _, X_in, xT_in = _pack(F, Q, X)
     w_in = jnp.zeros((P, 1, BD, 128), dtype).at[:, 0, 0, :n].set(llbar)
 
-    # streams/chunk: F, FT, SigS, MUS (BJ) + X, Xbar (BD) + Fbar, Qbar (BJ)
-    tc = _chunk(T, 6 + 1)
+    # streams/chunk: F, SigS, MUS (BJ) + X, Xbar (BD) + Fbar, Qbar (BJ)
+    tc = _chunk(T, 5 + 1)
     n_chunks = T // tc
     grid, interpret, compiler_params = _grid_setup(P, n_chunks)
 
@@ -473,10 +484,10 @@ def _blocked_bwd_call(F, Q, X, stores, llbar, eps: float = 1e-12):
         return _mk_spec(tc, r, True, n_chunks=n_chunks)
 
     Fbar, Qbar, Xbar, xTbar, Sfin, mfin = pl.pallas_call(
-        functools.partial(_squeeze_lead(_ll_blocked_bwd_kernel, 9 + 6),
+        functools.partial(_squeeze_lead(_ll_blocked_bwd_kernel, 8 + 6),
                           j=j, d=d, n=n, T=T, tc=tc, eps=eps),
         grid=grid,
-        in_specs=[rev(BJ), rev(BJ),
+        in_specs=[rev(BJ),
                   rev(BD), _mk_const(BD), _mk_const(BD),
                   rev(BJ), rev(BJ),
                   _mk_const(BJ), _mk_const(BJ)],
@@ -497,7 +508,7 @@ def _blocked_bwd_call(F, Q, X, stores, llbar, eps: float = 1e-12):
         ],
         compiler_params=compiler_params,
         interpret=interpret,
-    )(Fp, FTp, X_in, xT_in, w_in, SigS, MUS, SigT, MUT)
+    )(Fp, X_in, xT_in, w_in, SigS, MUS, SigT, MUT)
 
     Fbar = Fbar[:, :, :j, :j]
     Qbar = Qbar[:, :, :j, :j]
