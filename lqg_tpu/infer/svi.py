@@ -135,3 +135,38 @@ def fit_auto_mvn(model: ProbModel, rng_key, steps: int = 5000,
         losses.append(ls)
     (params, _) = carry
     return guide(params), jnp.concatenate(losses)
+
+
+def laplace_guide(model: ProbModel, eig_floor: float = 1e-6):
+    """Laplace (inverse-Hessian) affine guide at the model's init point.
+
+    Computes the exact Hessian of the unconstrained-space potential at
+    ``model.init_unconstrained()`` (run a MAP fit first so that point is the
+    mode) via forward-over-reverse autodiff and returns
+    ``AutoMVN(loc=mode, scale_tril=chol(H^{-1}))`` plus the Hessian
+    eigenvalues.  Under Bernstein-von-Mises concentration (~1.2e5
+    observations in the data.mat fit) the posterior is locally near-Gaussian,
+    so NUTS in the guide's ``eps`` space sees an ~isotropic target.
+
+    Unlike warmup mass adaptation or empirical preconditioning from a
+    previous run's draws (both estimate scales from samples, which
+    *under*-estimate directions the chains never explored - exactly the
+    slow ridge they are meant to fix), the Hessian measures the local metric
+    directly and deterministically.  Eigenvalues below ``eig_floor`` times
+    the largest are clamped (directions flatter than that are prior-scale
+    and do not need more room than the clamp gives them).
+    """
+    from lqg_tpu.system import force_scan_dispatch
+
+    u0 = model.init_unconstrained()
+    potential = lambda u: -model.log_joint_unconstrained(u)
+    # forward-over-reverse needs JVPs; the fused Pallas kernels only define
+    # reverse-mode custom_vjp adjoints, so pin dispatch to the XLA scans
+    with force_scan_dispatch():
+        hess = jax.jacfwd(jax.grad(potential))(u0)
+    hess = 0.5 * (hess + hess.T)
+    w, v = jnp.linalg.eigh(hess)
+    w = jnp.maximum(w, eig_floor * jnp.max(w))
+    hinv = (v / w) @ v.T
+    scale_tril = jnp.linalg.cholesky(0.5 * (hinv + hinv.T))
+    return AutoMVN(loc=u0, scale_tril=scale_tril), w

@@ -37,6 +37,32 @@ def _stacked(spec: LQGSpec) -> bool:
     return spec.A.ndim > spec.Qf.ndim
 
 
+_FORCE_SCAN = False
+
+
+class force_scan_dispatch:
+    """Context manager: make ``method="auto"`` resolve to the XLA scan paths.
+
+    The fused Pallas kernels expose reverse-mode gradients only (hand-derived
+    ``custom_vjp`` adjoints); callers that need forward-mode differentiation
+    - e.g. the exact-Hessian Laplace preconditioner's forward-over-reverse
+    ``jacfwd(grad(potential))``, :func:`lqg_tpu.infer.svi.laplace_guide` -
+    wrap the trace in this context so dispatch stays on plain XLA scans,
+    which JAX can JVP through.  Also convenient for kernel-vs-scan A/B runs.
+    """
+
+    def __enter__(self):
+        global _FORCE_SCAN
+        self._prev = _FORCE_SCAN
+        _FORCE_SCAN = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_SCAN
+        _FORCE_SCAN = self._prev
+        return False
+
+
 def _tl(x: jnp.ndarray, spec: LQGSpec) -> jnp.ndarray:
     """Time-leading broadcastable view of a per-step spec field."""
     return jnp.moveaxis(x, -3, 0) if _stacked(spec) else x[None]
@@ -98,6 +124,9 @@ class System:
         """
         import jax
         from lqg_tpu.ops.pallas.gains import fused_gains_available
+
+        if _FORCE_SCAN:
+            return False
 
         a = self.actor
         if (self.control_noise is not None or jax.default_backend() != "tpu"
@@ -331,7 +360,7 @@ class System:
                 blocked_ll_available)
 
             j = joint.F.shape[-1]
-            on_tpu = jax.default_backend() == "tpu"
+            on_tpu = jax.default_backend() == "tpu" and not _FORCE_SCAN
             if (on_tpu and joint.F.ndim == 3
                     and fused_ll_available(j, d, joint.F.dtype)):
                 method = "fused"

@@ -45,10 +45,14 @@ def parse_args(args=None):
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (cpu/tpu)")
     parser.add_argument("--neutra", type=str, default="none",
-                        choices=["none", "mvn", "iaf"],
+                        choices=["none", "mvn", "iaf", "laplace"],
                         help="NeuTra preconditioning: fit a variational "
                              "guide (full-rank Gaussian or IAF flow) and "
-                             "run NUTS in the whitened space.  The "
+                             "run NUTS in the whitened space, or (laplace) "
+                             "whiten by the exact inverse Hessian at the "
+                             "MAP - no SVI, deterministic, and unlike "
+                             "sample-based preconditioning it measures "
+                             "directions the chains never explored.  The "
                              "hierarchical posterior's correlations "
                              "otherwise drive every tree to max depth "
                              "(~2^10 leapfrogs/step) under the diagonal "
@@ -145,15 +149,31 @@ if __name__ == "__main__":
         from lqg_tpu.infer.utils import neutra_reparam
 
         t0 = _time.perf_counter()
-        if args.neutra == "mvn":
-            from lqg_tpu.infer.svi import fit_auto_mvn as fit_guide
+        if args.neutra == "laplace":
+            from lqg_tpu.infer.svi import laplace_guide
+
+            guide, eigs = laplace_guide(prob_model)
+            import numpy as np
+
+            print(f"[neutra] laplace guide (exact MAP Hessian) in "
+                  f"{_time.perf_counter() - t0:.1f}s; eigenvalue range "
+                  f"[{float(eigs[0]):.3g}, {float(eigs[-1]):.3g}] "
+                  f"(condition {float(eigs[-1] / eigs[0]):.1f}); "
+                  "posterior sds "
+                  + np.array2string(np.sqrt(np.diag(np.asarray(
+                      guide.scale_tril @ guide.scale_tril.T))),
+                      precision=4), flush=True)
         else:
-            from lqg_tpu.infer.flows import fit_auto_iaf as fit_guide
-        guide, losses = fit_guide(prob_model, random.PRNGKey(args.seed + 1),
-                                  steps=args.neutra_steps)
-        print(f"[neutra] {args.neutra} guide fit: {args.neutra_steps} SVI "
-              f"steps in {_time.perf_counter() - t0:.1f}s, final ELBO "
-              f"{-float(losses[-1]):.1f}", flush=True)
+            if args.neutra == "mvn":
+                from lqg_tpu.infer.svi import fit_auto_mvn as fit_guide
+            else:
+                from lqg_tpu.infer.flows import fit_auto_iaf as fit_guide
+            guide, losses = fit_guide(prob_model,
+                                      random.PRNGKey(args.seed + 1),
+                                      steps=args.neutra_steps)
+            print(f"[neutra] {args.neutra} guide fit: {args.neutra_steps} "
+                  f"SVI steps in {_time.perf_counter() - t0:.1f}s, final "
+                  f"ELBO {-float(losses[-1]):.1f}", flush=True)
         prob_model = neutra_reparam(prob_model, guide)
 
         if args.init == "map":
