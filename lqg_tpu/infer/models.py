@@ -30,6 +30,7 @@ import numpy as np
 from lqg_tpu.infer import transforms as tfm
 from lqg_tpu.infer.dists import Distribution
 from lqg_tpu.infer.priors import DEFAULT_PRIOR
+from lqg_tpu.utils.numerics import kahan_sum
 
 # constructor kwargs that are never free parameters
 # (parity: lqg/infer/models.py:14)
@@ -60,6 +61,14 @@ class ProbModel:
     transforms: Dict[str, tfm.Transform]
     log_likelihood: Callable[[Dict[str, jnp.ndarray]], jnp.ndarray]
     priors: Optional[Dict[str, Distribution]] = None
+    # Constant shift subtracted inside ``log_likelihood`` (model factories
+    # close over it).  HMC/SVI only use potential DIFFERENCES, but float32
+    # quantizes the returned scalar at ULP(|value|): at the data.mat fit's
+    # ~3e5-nat likelihood that is a ~0.03-nat floor on every delta-energy.
+    # Setting this to the MAP's likelihood (fit scripts do, after the MAP
+    # fit) keeps the returned value O(1-100) and the accept test exact to
+    # ~1e-3 nats.  Captured at TRACE time - set before jitting/running.
+    ll_baseline: float = 0.0
 
     @property
     def names(self) -> List[str]:
@@ -133,12 +142,6 @@ def lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
         init[name] = _float(default)
         transforms[name] = tfm.positive
 
-    def log_likelihood(params):
-        full = dict(fixed_params)
-        full.update(params)
-        lqg = model_type(process_noise=process_noise, dt=dt, T=T - 1, **full)
-        return jnp.sum(lqg.log_likelihood(x[..., :d]))
-
     used_priors = None
     if priors is not None:
         used_priors = {n: priors[n] for n in init if n in priors}
@@ -148,8 +151,20 @@ def lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
         init = {n: (used_priors[n].median if n in used_priors else init[n])
                 for n in init}
 
-    return ProbModel(init=init, transforms=transforms,
-                     log_likelihood=log_likelihood, priors=used_priors)
+    model = ProbModel(init=init, transforms=transforms,
+                      log_likelihood=None, priors=used_priors)
+
+    def log_likelihood(params):
+        full = dict(fixed_params)
+        full.update(params)
+        lqg = model_type(process_noise=process_noise, dt=dt, T=T - 1, **full)
+        lls = lqg.log_likelihood(x[..., :d])            # (n,) per trial
+        # compensated total with the baseline spread per trial so partial
+        # sums stay small-magnitude (full f32 precision) - see ll_baseline
+        return kahan_sum(jnp.ravel(lls) - model.ll_baseline / lls.size)
+
+    model.log_likelihood = log_likelihood
+    return model
 
 
 def lifted_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
@@ -210,6 +225,9 @@ def shared_params_lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
             transforms[site] = tfm.positive
             used_priors[site] = pr
 
+    model = ProbModel(init=init, transforms=transforms,
+                      log_likelihood=None, priors=used_priors)
+
     def log_likelihood(params):
         # assemble (Nc,)-batched condition parameters
         cond_params = {}
@@ -230,10 +248,12 @@ def shared_params_lqg_model(x, model_type, process_noise=1.0, dt=1.0 / 60.0,
             full.update(p)
             lqg = model_type(process_noise=process_noise, dt=dt, T=T - 1,
                              **dim_kw, **full)
-            return jnp.sum(lqg.log_likelihood(xn[..., :d]))
+            return lqg.log_likelihood(xn[..., :d])      # (n,) per trial
 
-        lls = jax.vmap(one_condition)(cond_params, x)
-        return jnp.sum(lls)
+        lls = jax.vmap(one_condition)(cond_params, x)   # (Nc, n)
+        # compensated cross-trial total with the baseline spread per trial
+        # so partial sums stay small-magnitude - see ll_baseline
+        return kahan_sum(jnp.ravel(lls) - model.ll_baseline / lls.size)
 
-    return ProbModel(init=init, transforms=transforms,
-                     log_likelihood=log_likelihood, priors=used_priors)
+    model.log_likelihood = log_likelihood
+    return model

@@ -41,6 +41,7 @@ from jax import lax
 
 from lqg_tpu.spec import LQGSpec
 from lqg_tpu.ops.linalg import mT, cho_solve, symmetrize
+from lqg_tpu.utils.numerics import kahan_sum
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -175,7 +176,11 @@ def conditional_kernel(joint: JointSystem, obs_dim: int,
     chols = jnp.concatenate([chol, chol_T[None]], axis=0)
 
     diag = jnp.diagonal(chols[1:], axis1=-2, axis2=-1)
-    logdet_score = jnp.sum(2.0 * jnp.log(diag)) + chols[1:].shape[0] * d * _LOG_2PI
+    # compensated: this scalar multiplies every trial, so its f32 rounding
+    # error enters the total likelihood COHERENTLY (x n_trials) - see
+    # lqg_tpu.utils.numerics
+    logdet_score = (kahan_sum(jnp.sum(2.0 * jnp.log(diag), axis=-1))
+                    + chols[1:].shape[0] * d * _LOG_2PI)
 
     return ConditionalKernel(M=M, J=J, chol=chols, logdet_score=logdet_score)
 
@@ -223,7 +228,10 @@ def trial_log_likelihood(kernel: ConditionalKernel, x: jnp.ndarray) -> jnp.ndarr
     e = X[1:] - preds
     w = jax.lax.linalg.triangular_solve(
         chols[1:], e, left_side=True, lower=True)
-    quad = jnp.sum(w * w, axis=(0, 1))  # (n,)
+    # compensated over the T axis: per-trial quads are O(T d) sums whose
+    # plain-f32 accumulation noise (~1e-2 nats/trial) otherwise dominates
+    # HMC's delta-energy precision (lqg_tpu.utils.numerics)
+    quad = kahan_sum(jnp.sum(w * w, axis=1), axis=0)  # (n,)
 
     return -0.5 * (quad + logdet_score)
 

@@ -145,6 +145,18 @@ def _read_scr(ref, n, m):
 # --- forward kernel ---
 
 
+def _neumaier_add(s, comp, v):
+    """Compensated accumulate: ``s += v`` keeping the lost low bits in
+    ``comp``.  The per-lane quad/logdet accumulators reach O(1e4) nats over
+    T~1e3 steps; plain f32 accumulation random-walks ~0.03 nats/lane, which
+    (x ~100 trial lanes) is exactly the potential noise floor that pinned
+    NUTS step sizes at the flagship fit (lqg_tpu.utils.numerics)."""
+    t = s + v
+    comp = comp + jnp.where(jnp.abs(s) >= jnp.abs(v), (s - t) + v,
+                            (v - t) + s)
+    return t, comp
+
+
 def _ll_fwd_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref, SigS_ref, muS_ref,
                    SigT_ref, muT_ref, Sig_scr, mu_scr, acc_scr,
                    *, j, d, T, tc, eps):
@@ -176,11 +188,13 @@ def _ll_fwd_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref, SigS_ref, muS_ref,
             mu_scr[i] = x0[i] if i < d else _zeros_like_tile(x0[0])
         acc_scr[0] = _zeros_like_tile(x0[0])  # quad
         acc_scr[1] = _zeros_like_tile(x0[0])  # logdet
+        acc_scr[2] = _zeros_like_tile(x0[0])  # quad compensation
+        acc_scr[3] = _zeros_like_tile(x0[0])  # logdet compensation
 
     # carries ride the fori_loop VALUE (registers); scratch only bridges
     # chunks of the time grid
     def step(i, carry):
-        sig_rows, mu_rows, quad_acc, ld_acc = carry
+        sig_rows, mu_rows, quad_acc, ld_acc, quad_c, ld_c = carry
         t_global = c * tc + i
         Sigma = _mat(list(sig_rows), j, j)
         mu = _mat(list(mu_rows), j, 1)
@@ -203,8 +217,8 @@ def _ll_fwd_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref, SigS_ref, muS_ref,
         quad = _idx(e, 0, 0) * _idx(Se, 0, 0)
         for r in range(1, d):
             quad = quad + _idx(e, r, 0) * _idx(Se, r, 0)
-        quad_acc = quad_acc + mask * quad
-        ld_acc = ld_acc + mask * jnp.log(det)
+        quad_acc, quad_c = _neumaier_add(quad_acc, quad_c, mask * quad)
+        ld_acc, ld_c = _neumaier_add(ld_acc, ld_c, mask * jnp.log(det))
 
         FS = _matmul(F, Sigma)
         P = _mat([_idx(FS, r, k) for r in range(j) for k in range(d)], j, d)
@@ -214,16 +228,20 @@ def _ll_fwd_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref, SigS_ref, muS_ref,
         Sigma_new = _sym(_sub(_add(_matmul(FS, _transpose(F)), Q),
                               _matmul(J, _transpose(P))))
 
-        return (tuple(Sigma_new[0]), tuple(mu_new[0]), quad_acc, ld_acc)
+        return (tuple(Sigma_new[0]), tuple(mu_new[0]),
+                quad_acc, ld_acc, quad_c, ld_c)
 
     carry0 = (tuple(_read_scr(Sig_scr, j, j)[0]),
               tuple(_read_scr(mu_scr, j, 1)[0]),
-              acc_scr[0], acc_scr[1])
-    sig_f, mu_f, quad_f, ld_f = jax.lax.fori_loop(0, tc, step, carry0)
+              acc_scr[0], acc_scr[1], acc_scr[2], acc_scr[3])
+    sig_f, mu_f, quad_f, ld_f, quad_cf, ld_cf = jax.lax.fori_loop(
+        0, tc, step, carry0)
     _write_scr(Sig_scr, _mat(list(sig_f), j, j))
     _write_scr(mu_scr, _mat(list(mu_f), j, 1))
     acc_scr[0] = quad_f
     acc_scr[1] = ld_f
+    acc_scr[2] = quad_cf
+    acc_scr[3] = ld_cf
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -240,8 +258,9 @@ def _ll_fwd_kernel(F_ref, Q_ref, X_ref, xT_ref, ll_ref, SigS_ref, muS_ref,
         quad = _idx(e, 0, 0) * _idx(Se, 0, 0)
         for r in range(1, d):
             quad = quad + _idx(e, r, 0) * _idx(Se, r, 0)
-        total = acc_scr[0] + quad + acc_scr[1] + jnp.log(det) \
-            + T * d * _LOG_2PI
+        # fold the compensation terms (small) before the large partials
+        total = (acc_scr[2] + acc_scr[3] + quad + jnp.log(det)) \
+            + acc_scr[0] + acc_scr[1] + T * d * _LOG_2PI
         ll_ref[0] = -0.5 * total
 
 
@@ -510,7 +529,7 @@ def _ll_fwd_call(F, Q, X):
         scratch_shapes=[
             pltpu.VMEM((j * j, SUB, LANE), dtype),
             pltpu.VMEM((j, SUB, LANE), dtype),
-            pltpu.VMEM((2, SUB, LANE), dtype),
+            pltpu.VMEM((4, SUB, LANE), dtype),
         ],
         compiler_params=compiler_params,
         interpret=interpret,

@@ -4,3 +4,4 @@ __all__ = ["time_stack", "time_stack_spec", "stationary_spec"]
 from lqg_tpu.utils.profiling import trace, timeit, Timing
 
 __all__ += ["trace", "timeit", "Timing"]
+from lqg_tpu.utils.numerics import kahan_sum
